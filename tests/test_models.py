@@ -1,0 +1,142 @@
+"""Behavioral tests for the model zoo: call modes, masking, heads, variants."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uncertainty_vit_tpu.core.config import ViTConfig
+from uncertainty_vit_tpu.models.cyclical import CyclicalViT
+from uncertainty_vit_tpu.models.vit import VisionTransformer
+
+TINY = ViTConfig(
+    img_size=32, patch_size=16, embed_dim=16, depth=2, num_heads=2,
+    num_classes=5, use_flash_attention=False,
+)
+
+
+def images(b=2, s=32, key=1):
+    return jax.random.normal(jax.random.PRNGKey(key), (b, s, s, 3))
+
+
+def test_finetune_forward_shapes():
+    model = VisionTransformer(cfg=TINY)
+    params = model.init(jax.random.PRNGKey(0), images())
+    out = model.apply(params, images())
+    assert out.shape == (2, 5)
+
+
+def test_finetune_masking_only_in_training():
+    cfg = TINY.replace(has_masking=True)
+    model = VisionTransformer(cfg=cfg)
+    x = images()
+    mask = jnp.ones((2, cfg.num_patches))
+    params = model.init(jax.random.PRNGKey(0), x)
+    # deterministic (eval): mask ignored (modeling_finetune.py:482-486)
+    out_eval_masked = model.apply(params, x, mask, deterministic=True)
+    out_eval_plain = model.apply(params, x, deterministic=True)
+    np.testing.assert_allclose(
+        np.asarray(out_eval_masked), np.asarray(out_eval_plain), rtol=1e-6
+    )
+    # training: mask changes the output
+    out_train_masked = model.apply(
+        params, x, mask, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2), "droppath": jax.random.PRNGKey(3)},
+    )
+    assert not np.allclose(np.asarray(out_train_masked), np.asarray(out_eval_plain))
+
+
+def test_cyclical_call_modes():
+    model = CyclicalViT(cfg=TINY)
+    x = images()
+    mask = jnp.zeros((2, TINY.num_patches)).at[:, :2].set(1.0)
+    params = model.init(jax.random.PRNGKey(0), x, mask)
+
+    # teacher: per-layer activations, cls stripped, no final norm
+    zs = model.apply(params, x, None, layer_results="end")
+    assert len(zs) == TINY.depth and zs[0].shape == (2, TINY.num_patches, 16)
+    fcs = model.apply(params, x, None, layer_results="fc")
+    assert len(fcs) == TINY.depth
+    assert not np.allclose(np.asarray(zs[-1]), np.asarray(fcs[-1]))
+
+    # student: lm_head over all patch tokens
+    out = model.apply(params, x, mask)
+    assert out.shape == (2, TINY.num_patches, 16)
+
+    # mask applied even when deterministic (modeling_cyclical.py:179-182)
+    out_nomask = model.apply(params, x, None)
+    assert not np.allclose(np.asarray(out), np.asarray(out_nomask))
+
+
+def test_droppath_deterministic_eval():
+    cfg = TINY.replace(drop_path_rate=0.5, drop_rate=0.1)
+    model = VisionTransformer(cfg=cfg)
+    x = images()
+    params = model.init(jax.random.PRNGKey(0), x)
+    a = model.apply(params, x, deterministic=True)
+    b = model.apply(params, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # train mode is stochastic across rng folds
+    r1 = model.apply(params, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(1), "droppath": jax.random.PRNGKey(2)})
+    r2 = model.apply(params, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(3), "droppath": jax.random.PRNGKey(4)})
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
+
+
+def test_learn_layer_weights():
+    cfg = TINY.replace(learn_layer_weights=True, layernorm_before_combine=True)
+    model = VisionTransformer(cfg=cfg)
+    params = model.init(jax.random.PRNGKey(0), images())
+    out = model.apply(params, images())
+    assert out.shape == (2, 5)
+    assert "layer_log_weights" in params["params"]
+
+
+@pytest.mark.parametrize("variant", ["gumbel", "sinkformer", "dual_sto"])
+def test_attention_variants_run(variant):
+    cfg = TINY.replace(attn_variant=variant)
+    model = VisionTransformer(cfg=cfg)
+    rngs = {"params": jax.random.PRNGKey(0), "gumbel": jax.random.PRNGKey(1)}
+    params = model.init(rngs, images())
+    out = model.apply(params, images(), rngs={"gumbel": jax.random.PRNGKey(2)})
+    assert out.shape == (2, 5)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sngp_head_and_state():
+    cfg = TINY.replace(head_type="sngp", sngp_fc_norm=True)
+    model = VisionTransformer(cfg=cfg)
+    x = images()
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "sngp_state" in variables and "sngp_frozen" in variables
+    p0 = np.asarray(variables["sngp_state"]["head"]["precision_matrix"])
+
+    # training step: precision matrix and power-iteration vectors update
+    out, updates = model.apply(
+        variables, x, deterministic=False, update_sngp_cov=True,
+        mutable=["sngp_state", "spectral_stats"],
+        rngs={"dropout": jax.random.PRNGKey(1), "droppath": jax.random.PRNGKey(2)},
+    )
+    assert out.shape == (2, 5)
+    p1 = np.asarray(updates["sngp_state"]["head"]["precision_matrix"])
+    assert not np.allclose(p0, p1)
+
+    # eval with covariance
+    logits, cov = model.apply(variables, x, return_gp_cov=True)
+    assert logits.shape == (2, 5) and cov.shape == (2, 2)
+
+
+def test_het_head():
+    cfg = TINY.replace(head_type="het", het_train_mc_samples=40, het_test_mc_samples=40)
+    model = VisionTransformer(cfg=cfg)
+    x = images()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mc": jax.random.PRNGKey(1)}, x
+    )
+    logits = model.apply(variables, x, rngs={"mc": jax.random.PRNGKey(2)})
+    assert logits.shape == (2, 5)
+    # logits are log of mean softmax probs: exp sums to ≤ 1 (clipped)
+    probs = np.exp(np.asarray(logits))
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)

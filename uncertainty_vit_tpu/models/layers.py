@@ -1,0 +1,382 @@
+"""Canonical ViT building blocks (flax.linen).
+
+One implementation replaces the reference's five near-duplicate model files
+(modeling_finetune.py, modeling_finetune_try.py, modeling_pretrain.py,
+modeling_cyclical.py, modeling_cyclical_joint.py — see SURVEY.md §2.1).
+Numerical semantics follow modeling_finetune.py; each module cites the lines
+it mirrors. Layout is TPU-native: images are NHWC, compute dtype is
+configurable (bfloat16 for the hot path), parameters stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncertainty_vit_tpu.core.init import scaled, torch_bias_default, torch_linear_default, trunc_normal
+from uncertainty_vit_tpu.ops import attention as attn_ops
+from uncertainty_vit_tpu.ops import relpos
+from uncertainty_vit_tpu.ops.flash_attention import flash_attention
+
+Dtype = Any
+
+
+def drop_path(
+    x: jnp.ndarray, rate: float, rng: Optional[jax.Array], deterministic: bool
+) -> jnp.ndarray:
+    """Stochastic depth per sample (modeling_finetune.py:51-62 / timm drop_path)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchifier → [B, N, C] (modeling_finetune.py:304-325), NHWC input."""
+
+    patch_size: int = 16
+    embed_dim: int = 768
+    dtype: Dtype = jnp.float32
+    # 'torch' = torch Conv2d default (finetune zoo); ('trunc', std) for the
+    # cyclical zoo's Conv init (modeling_cyclical.py:158-161).
+    weight_init: Any = "torch"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch_size
+        if self.weight_init == "torch":
+            kinit = torch_linear_default()
+            binit = torch_bias_default(fan_in=x.shape[-1] * p * p)
+        else:
+            _, std = self.weight_init
+            kinit = trunc_normal(std=std, abs_bound=std)
+            binit = nn.initializers.zeros
+        x = nn.Conv(
+            features=self.embed_dim,
+            kernel_size=(p, p),
+            strides=(p, p),
+            padding="VALID",
+            kernel_init=kinit,
+            bias_init=binit,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        b, gh, gw, c = x.shape
+        return x.reshape(b, gh * gw, c)
+
+
+class Mlp(nn.Module):
+    """fc1 → GELU(exact) → fc2 → dropout (modeling_finetune.py:65-82; dropout
+    only after fc2 per the comment at :78-80)."""
+
+    hidden_dim: int
+    out_dim: int
+    drop: float = 0.0
+    layer_id: int = 0  # 1-based; 0 disables the fix_init rescale
+    init_std: float = 0.02
+    init_trunc_abs: float = 2.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        tn = trunc_normal(self.init_std, self.init_trunc_abs)
+        x = nn.Dense(
+            self.hidden_dim, kernel_init=tn, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        fc2_init = tn if self.layer_id == 0 else scaled(tn, 1.0 / np.sqrt(2.0 * self.layer_id))
+        x = nn.Dense(
+            self.out_dim, kernel_init=fc2_init, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="fc2",
+        )(x)
+        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        return x
+
+
+class RelativePositionBias(nn.Module):
+    """Shared-across-blocks rel-pos bias table (modeling_finetune.py:328-364).
+
+    Returns [num_heads, N+1, N+1]; zero-initialized like the reference
+    (trunc_normal_ of the table is commented out at :357).
+    """
+
+    window_size: Tuple[int, int]
+    num_heads: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        nrd = relpos.num_relative_distance(self.window_size)
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.zeros,
+            (nrd, self.num_heads),
+        )
+        index = jnp.asarray(relpos.relative_position_index(self.window_size))
+        bias = table[index.reshape(-1)].reshape(index.shape + (self.num_heads,))
+        return bias.transpose(2, 0, 1)
+
+
+class Attention(nn.Module):
+    """MHSA with the reference's fused-qkv / no-key-bias layout
+    (modeling_finetune.py:85-188).
+
+    The qkv Linear has no bias; q_bias and v_bias are separate parameters and
+    the key bias is structurally zero (:149). Optional per-block rel-pos table
+    (window_size), optional shared bias add, softmax/gumbel/sinkformer
+    probability variants, attention dropout, projection + dropout.
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    window_size: Optional[Tuple[int, int]] = None
+    attn_head_dim: Optional[int] = None
+    variant: str = "softmax"
+    sinkformer_eps: float = 1.0
+    sinkformer_iters: int = 3
+    layer_id: int = 0
+    init_std: float = 0.02
+    init_trunc_abs: float = 2.0
+    use_flash: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        rel_pos_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, n, c = x.shape
+        head_dim = self.attn_head_dim or self.dim // self.num_heads
+        all_head_dim = head_dim * self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+        tn = trunc_normal(self.init_std, self.init_trunc_abs)
+
+        qkv_kernel = self.param("qkv_kernel", tn, (c, all_head_dim * 3))
+        qkv = jnp.einsum(
+            "bnc,cd->bnd", x, qkv_kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(v_bias), v_bias])
+            qkv = qkv + bias.astype(self.dtype)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]  # [B,H,N,D]
+
+        bias_bhnn = None
+        if self.window_size is not None:
+            nrd = relpos.num_relative_distance(self.window_size)
+            table = self.param(
+                "relative_position_bias_table",
+                nn.initializers.zeros,
+                (nrd, self.num_heads),
+            )
+            index = jnp.asarray(relpos.relative_position_index(self.window_size))
+            local = table[index.reshape(-1)].reshape(index.shape + (self.num_heads,))
+            bias_bhnn = local.transpose(2, 0, 1)  # [H, N, N]
+        if rel_pos_bias is not None:
+            bias_bhnn = rel_pos_bias if bias_bhnn is None else bias_bhnn + rel_pos_bias
+
+        use_kernel = (
+            self.use_flash
+            and self.variant == "softmax"
+            and (deterministic or self.attn_drop == 0.0)
+            and jax.default_backend() == "tpu"
+        )
+        if use_kernel:
+            out = flash_attention(q, k, v, bias_bhnn, scale)
+        else:
+            dropout_rng = None
+            gumbel_rng = None
+            if self.attn_drop > 0.0 and not deterministic:
+                dropout_rng = self.make_rng("dropout")
+            if self.variant == "gumbel":
+                gumbel_rng = self.make_rng("gumbel")
+            out = attn_ops.naive_attention(
+                q, k, v, scale, bias_bhnn,
+                variant=self.variant,
+                dropout_rate=self.attn_drop,
+                dropout_rng=dropout_rng,
+                deterministic=deterministic,
+                gumbel_rng=gumbel_rng,
+                sinkformer_eps=self.sinkformer_eps,
+                sinkformer_iters=self.sinkformer_iters,
+            )
+
+        out = jnp.moveaxis(out, 1, 2).reshape(b, n, all_head_dim)
+        proj_init = tn if self.layer_id == 0 else scaled(tn, 1.0 / np.sqrt(2.0 * self.layer_id))
+        out = nn.Dense(
+            self.dim, kernel_init=proj_init, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="proj",
+        )(out)
+        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        return out
+
+
+class DualStoSelfAttention(nn.Module):
+    """'h_sto_trans' variant (modeling_finetune.py:191-260): keys are
+    hard-Gumbel-quantized onto a learned centroid codebook; attention weights
+    are hard-Gumbel over q·sto_k. Temperatures are both sqrt(h_size)
+    (:207-208)."""
+
+    h_size: int
+    n_heads: int
+    prob_attn: float = 0.0
+    prob_h: float = 0.0
+    n_centroids: int = 2
+    init_std: float = 0.02
+    init_trunc_abs: float = 2.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        rel_pos_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        del rel_pos_bias  # unused by the reference variant (:217-255)
+        b, n, _ = x.shape
+        head_dim = self.h_size // self.n_heads
+        tau = float(self.h_size) ** 0.5
+        tn = trunc_normal(self.init_std, self.init_trunc_abs)
+
+        dense = lambda name: nn.Dense(
+            self.h_size, kernel_init=tn, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name=name,
+        )
+        qq = dense("query")(x).reshape(b, n, self.n_heads, head_dim)
+        kk = dense("key")(x).reshape(b, n, self.n_heads, head_dim)
+        vv = dense("value")(x).reshape(b, n, self.n_heads, head_dim)
+
+        def centroid_init(key, shape, dtype=jnp.float32):
+            # torch.nn.init.uniform_(a=-0.5, b=0.5) (modeling_finetune.py:213-215)
+            return jax.random.uniform(key, shape, dtype, -0.5, 0.5)
+
+        centroid = self.param("centroid", centroid_init, (head_dim, self.n_centroids))
+
+        kk_logits = jnp.einsum("bnhd,dc->bnhc", kk, centroid.astype(self.dtype))
+        prob = attn_ops.gumbel_softmax_probs(
+            kk_logits, self.make_rng("gumbel"), tau=tau, hard=True
+        )
+        sto_kk = jnp.einsum("bnhc,cd->bnhd", prob, centroid.T.astype(self.dtype))
+
+        qh = jnp.moveaxis(qq, 1, 2)
+        kh = jnp.moveaxis(sto_kk, 1, 2)
+        vh = jnp.moveaxis(vv, 1, 2)
+
+        interact = jnp.einsum(
+            "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
+        )
+        weights = attn_ops.gumbel_softmax_probs(
+            interact, self.make_rng("gumbel"), tau=tau, hard=True
+        ).astype(self.dtype)
+        weights = nn.Dropout(self.prob_attn, deterministic=deterministic)(weights)
+
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, vh)
+        out = jnp.moveaxis(out, 1, 2).reshape(b, n, self.h_size)
+        out = dense("proj")(out)
+        out = nn.Dropout(self.prob_h, deterministic=deterministic)(out)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block returning (x, fc_feature)
+    (modeling_finetune.py:263-299). fc_feature is the post-MLP residual branch
+    exposed for data2vec layer_results='fc' targets."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path_rate: float = 0.0
+    init_values: Optional[float] = None
+    window_size: Optional[Tuple[int, int]] = None
+    attn_head_dim: Optional[int] = None
+    variant: str = "softmax"
+    sinkformer_eps: float = 1.0
+    sinkformer_iters: int = 3
+    dual_sto_n_centroids: int = 2
+    layer_id: int = 1
+    init_std: float = 0.02
+    init_trunc_abs: float = 2.0
+    layer_norm_eps: float = 1e-6
+    use_flash: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        rel_pos_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        ln = lambda name: nn.LayerNorm(epsilon=self.layer_norm_eps, name=name)
+        if self.variant == "dual_sto":
+            attn = DualStoSelfAttention(
+                h_size=self.dim, n_heads=self.num_heads,
+                prob_attn=self.attn_drop, prob_h=self.drop,
+                n_centroids=self.dual_sto_n_centroids,
+                init_std=self.init_std, init_trunc_abs=self.init_trunc_abs,
+                dtype=self.dtype, name="attn",
+            )
+        else:
+            attn = Attention(
+                dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale, attn_drop=self.attn_drop,
+                proj_drop=self.drop, window_size=self.window_size,
+                attn_head_dim=self.attn_head_dim, variant=self.variant,
+                sinkformer_eps=self.sinkformer_eps,
+                sinkformer_iters=self.sinkformer_iters,
+                layer_id=self.layer_id, init_std=self.init_std,
+                init_trunc_abs=self.init_trunc_abs, use_flash=self.use_flash,
+                dtype=self.dtype, name="attn",
+            )
+        mlp = Mlp(
+            hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
+            drop=self.drop, layer_id=self.layer_id, init_std=self.init_std,
+            init_trunc_abs=self.init_trunc_abs, dtype=self.dtype, name="mlp",
+        )
+
+        def dp(h):
+            rng = (
+                self.make_rng("droppath")
+                if (not deterministic and self.drop_path_rate > 0.0)
+                else None
+            )
+            return drop_path(h, self.drop_path_rate, rng, deterministic)
+
+        attn_out = attn(ln("norm1")(x).astype(self.dtype), rel_pos_bias, deterministic)
+        if self.init_values is not None and self.init_values > 0:
+            gamma_1 = self.param(
+                "gamma_1", nn.initializers.constant(self.init_values), (self.dim,)
+            )
+            gamma_2 = self.param(
+                "gamma_2", nn.initializers.constant(self.init_values), (self.dim,)
+            )
+            x = x + dp(gamma_1.astype(self.dtype) * attn_out)
+            fc_feature = dp(
+                gamma_2.astype(self.dtype)
+                * mlp(ln("norm2")(x).astype(self.dtype), deterministic)
+            )
+        else:
+            x = x + dp(attn_out)
+            fc_feature = dp(mlp(ln("norm2")(x).astype(self.dtype), deterministic))
+        x = x + fc_feature
+        return x, fc_feature
