@@ -1,0 +1,206 @@
+"""Training-stack tests: schedules vs reference arrays, layer decay, engines
+learning on tiny problems, EMA semantics, multi-device pjit step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from uncertainty_vit_tpu.core.config import ViTConfig
+from uncertainty_vit_tpu.models.cyclical import CyclicalViT
+from uncertainty_vit_tpu.models.vit import VisionTransformer
+from uncertainty_vit_tpu.parallel import mesh as pmesh
+from uncertainty_vit_tpu.train import schedules
+from uncertainty_vit_tpu.train.ema import cyclical_ema_step
+from uncertainty_vit_tpu.train.engine_cyclical import (
+    CyclicalHParams, init_cyclical_state, make_cyclical_train_step,
+)
+from uncertainty_vit_tpu.train.engine_finetune import (
+    FinetuneHParams, init_finetune_state, make_finetune_train_step,
+)
+from uncertainty_vit_tpu.train.optim import (
+    layer_decay_scales, make_optimizer, vit_layer_id, weight_decay_mask,
+)
+
+TINY = ViTConfig(
+    img_size=32, patch_size=16, embed_dim=16, depth=2, num_heads=2,
+    num_classes=5, use_flash_attention=False,
+)
+
+
+def ref_cosine_schedule(base, final, epochs, niter, warmup_epochs=0, start=0, warmup_steps=-1):
+    """Reference utils.py:408-425 recomputed inline in numpy."""
+    import math
+    warmup_iters = warmup_epochs * niter
+    if warmup_steps > 0:
+        warmup_iters = warmup_steps
+    warm = np.linspace(start, base, warmup_iters) if warmup_epochs > 0 else np.array([])
+    iters = np.arange(epochs * niter - warmup_iters)
+    sched = np.array([
+        final + 0.5 * (base - final) * (1 + math.cos(math.pi * i / len(iters))) for i in iters
+    ])
+    return np.concatenate((warm, sched))
+
+
+def test_cosine_schedule_matches_reference():
+    base, final, epochs, niter, wu = 2e-3, 1e-5, 10, 7, 2
+    ref = ref_cosine_schedule(base, final, epochs, niter, warmup_epochs=wu)
+    ours = schedules.cosine_schedule(base, final, epochs * niter, warmup_steps=wu * niter)
+    got = np.array([float(ours(s)) for s in range(epochs * niter)])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-9)
+
+
+def test_tri_phase_schedule_matches_reference():
+    base, final, total = 1e-3, 1e-6, 100
+    warm, dec = int(0.05 * total), int(0.15 * total)
+    ref = np.concatenate([
+        np.linspace(0, base, warm),
+        np.full(total - warm - dec, base),
+        np.linspace(base, final, dec),
+    ])
+    ours = schedules.tri_phase_schedule(base, final, total, 0.05, 0.15)
+    got = np.array([float(ours(s)) for s in range(total)])
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-9)
+
+
+def test_layer_ids_and_decay_scales():
+    model = VisionTransformer(cfg=TINY)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    depth = TINY.depth
+    nml = depth + 2
+    # spot checks of get_num_layer_for_vit semantics (optim_factory.py:33-44)
+    assert vit_layer_id(("backbone", "cls_token"), nml) == 0
+    assert vit_layer_id(("backbone", "patch_embed", "proj", "kernel"), nml) == 0
+    assert vit_layer_id(("backbone", "blocks_0", "attn", "qkv_kernel"), nml) == 1
+    assert vit_layer_id(("backbone", "blocks_1", "mlp", "fc2", "kernel"), nml) == 2
+    assert vit_layer_id(("head", "kernel"), nml) == nml - 1
+    assert vit_layer_id(("backbone", "rel_pos_bias", "relative_position_bias_table"), nml) == nml - 1
+
+    scales = layer_decay_scales(params, 0.65, depth)
+    flat = {
+        "/".join(str(k.key) for k in path): v
+        for path, v in jax.tree_util.tree_leaves_with_path(scales)
+    }
+    # values[i] = decay^(depth+1-i) (run_class_finetuning.py:570-571):
+    # head (layer depth+1) → decay^0 == 1.0, cls (layer 0) → decay^(depth+1).
+    assert flat["backbone/cls_token"] == 0.65 ** (depth + 1)
+    assert flat["head/kernel"] == 1.0
+    assert flat["backbone/blocks_0/attn/qkv_kernel"] == 0.65**depth
+
+
+def test_weight_decay_mask():
+    model = VisionTransformer(cfg=TINY)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+    mask = weight_decay_mask(params)
+    flat = {
+        "/".join(str(k.key) for k in path): v
+        for path, v in jax.tree_util.tree_leaves_with_path(mask)
+    }
+    assert flat["backbone/pos_embed"] is False
+    assert flat["backbone/cls_token"] is False
+    assert flat["backbone/blocks_0/norm1/scale"] is False  # 1-D
+    assert flat["backbone/blocks_0/attn/q_bias"] is False
+    assert flat["backbone/blocks_0/attn/qkv_kernel"] is True
+    assert flat["head/kernel"] is True
+
+
+def test_cyclical_train_step_learns_and_ema_moves():
+    model = CyclicalViT(cfg=TINY)
+    hp = CyclicalHParams(target_layers=(0, 1), ema_decay=0.9, ema_decay_init=0.5, ema_start_at=5)
+    lr = schedules.cosine_schedule(1e-3, 1e-5, 50, warmup_steps=5)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    mask = jnp.zeros((4, TINY.num_patches)).at[:, :2].set(1.0)
+
+    params_rng = jax.random.PRNGKey(0)
+    tx = make_optimizer(
+        model.init(params_rng, images, mask)["params"], lr,
+        weight_decay=0.05, clip_grad=3.0, layer_decay=None, depth=TINY.depth,
+    )
+    state = init_cyclical_state(model, tx, params_rng, images, mask)
+    p0 = jax.tree_util.tree_map(np.asarray, state.params)
+    step = make_cyclical_train_step(model, tx, hp, lr, donate=False)
+
+    losses = []
+    for i in range(10):
+        state, metrics = step(state, images, mask, jax.random.PRNGKey(7))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 10
+    # EMA moved away from init but not equal to params
+    e = jax.tree_util.tree_leaves(state.ema_params)[0]
+    p = jax.tree_util.tree_leaves(state.params)[0]
+    i0 = jax.tree_util.tree_leaves(p0)[0]
+    assert not np.allclose(np.asarray(e), np.asarray(i0))
+    assert not np.allclose(np.asarray(e), np.asarray(p))
+
+
+def test_ema_freeze_after_lr_decay_start():
+    p = {"w": jnp.ones((3,))}
+    e = {"w": jnp.zeros((3,))}
+    # step beyond start_lr_decay_at_step → frozen teacher
+    out = cyclical_ema_step(e, p, jnp.asarray(100), 0.99, 0.9, 10, start_lr_decay_at_step=50)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.0)
+    # normal update before the freeze point
+    out2 = cyclical_ema_step(e, p, jnp.asarray(20), 0.99, 0.9, 10, start_lr_decay_at_step=50)
+    np.testing.assert_allclose(np.asarray(out2["w"]), 0.01, rtol=1e-5)
+
+
+def test_finetune_train_step_learns():
+    model = VisionTransformer(cfg=TINY)
+    hp = FinetuneHParams(num_classes=5, mixup_active=False, label_smoothing=0.0,
+                         num_patches=TINY.num_patches)
+    lr = schedules.constant_schedule(1e-3)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 5
+
+    tx = make_optimizer(
+        model.init(jax.random.PRNGKey(0), images)["params"], lr,
+        weight_decay=0.05, clip_grad=None, layer_decay=0.65, depth=TINY.depth,
+    )
+    state = init_finetune_state(model, tx, jax.random.PRNGKey(0), images)
+    step = make_finetune_train_step(model, tx, hp, lr)
+
+    losses = []
+    for i in range(15):
+        state, metrics = step(state, images, labels, jax.random.PRNGKey(3))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] - 0.1, losses
+
+
+def test_finetune_step_with_mixup_runs():
+    model = VisionTransformer(cfg=TINY)
+    hp = FinetuneHParams(num_classes=5, mixup_active=True, num_patches=TINY.num_patches)
+    lr = schedules.constant_schedule(1e-4)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 5
+    tx = make_optimizer(model.init(jax.random.PRNGKey(0), images)["params"], lr)
+    state = init_finetune_state(model, tx, jax.random.PRNGKey(0), images)
+    step = make_finetune_train_step(model, tx, hp, lr)
+    state, metrics = step(state, images, labels, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multidevice_data_parallel_step():
+    """pjit train step over the 8-device CPU mesh with data-sharded batch."""
+    assert len(jax.devices()) == 8
+    mesh = pmesh.create_mesh()
+    model = CyclicalViT(cfg=TINY)
+    hp = CyclicalHParams(target_layers=(0, 1))
+    lr = schedules.constant_schedule(1e-3)
+    images = jax.random.normal(jax.random.PRNGKey(1), (16, 32, 32, 3))
+    mask = jnp.zeros((16, TINY.num_patches)).at[:, 1].set(1.0)
+
+    tx = make_optimizer(model.init(jax.random.PRNGKey(0), images, mask)["params"], lr)
+    state = init_cyclical_state(model, tx, jax.random.PRNGKey(0), images, mask)
+    state = jax.device_put(state, pmesh.replicated(mesh))
+    sharded_images = pmesh.shard_batch(images, mesh)
+    sharded_mask = pmesh.shard_batch(mask, mesh)
+
+    step = make_cyclical_train_step(model, tx, hp, lr, donate=False)
+    new_state, metrics = step(state, sharded_images, sharded_mask, jax.random.PRNGKey(5))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # sharded result must match the single-device result
+    state1 = init_cyclical_state(model, tx, jax.random.PRNGKey(0), images, mask)
+    _, metrics1 = step(state1, images, mask, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(metrics["loss"]), float(metrics1["loss"]), rtol=1e-4)

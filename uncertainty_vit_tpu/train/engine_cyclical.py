@@ -1,0 +1,217 @@
+"""Cyclical (data2vec) pretraining engine: one fused pjit train step.
+
+Replaces the reference hot loop (engine_for_cyclical.py:45-219) with a single
+compiled program per step: teacher forward (EMA params, no grad), target
+normalization pipeline, masked student forward, loss, grads, optimizer
+update, and the EMA teacher update — all on device. LR/WD schedules are
+evaluated inside the step; the DDP all-reduce becomes the XLA-inserted psum
+from the data-sharded batch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from uncertainty_vit_tpu.ops import losses as L
+from uncertainty_vit_tpu.train.ema import cyclical_ema_step
+from uncertainty_vit_tpu.train.optim import global_norm
+
+
+@flax.struct.dataclass
+class CyclicalState:
+    params: Any
+    opt_state: Any
+    ema_params: Any
+    step: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class CyclicalHParams:
+    """Knobs of engine_for_cyclical.train_one_epoch (engine_for_cyclical.py:24-32)."""
+
+    target_layers: Tuple[int, ...] = (6, 7, 8, 9, 10, 11)
+    layer_results: str = "end"  # 'end' | 'fc'
+    l1_beta: float = 2.0
+    l2_loss: bool = False
+    var_w0: float = 0.0
+    var_margin0: float = 0.5
+    loss_scale: float = -1.0
+    mask_dropout_prob: float = -1.0
+    # target normalization ladder (engine_for_cyclical.py:94-118)
+    target_layer_norm_last: bool = True
+    target_batch_norm: bool = False
+    target_instance_norm: bool = False
+    post_target_instance_norm: bool = False
+    post_target_layer_norm: bool = False
+    # EMA teacher (README.md:16 recipe: decay 0.9998, init 0.999, start 0)
+    ema_decay: float = 0.9998
+    ema_decay_init: float = 0.999
+    ema_start_at: int = 0
+    start_lr_decay_at_step: int = -1
+    # stochastic (dist) variant
+    stochastic: bool = False
+    lambda_pretraining: float = 1e-5
+
+
+def _ln(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """F.layer_norm over the last dim, no affine (torch default eps)."""
+    x = x.astype(jnp.float32)
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps)
+
+
+def _instance_norm_bct(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """F.instance_norm on [B, C, T]: normalize over T per (B, C)."""
+    x = x.astype(jnp.float32)
+    mean = x.mean(axis=-1, keepdims=True)
+    var = x.var(axis=-1, keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps)
+
+
+def _batch_norm_bct(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """F.batch_norm (training, no running stats) on [B, C, T]: normalize over
+    (B, T) per channel."""
+    x = x.astype(jnp.float32)
+    mean = x.mean(axis=(0, 2), keepdims=True)
+    var = x.var(axis=(0, 2), keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps)
+
+
+def build_targets(
+    layer_outputs: Sequence[jnp.ndarray], hp: CyclicalHParams
+) -> jnp.ndarray:
+    """Teacher target pipeline (engine_for_cyclical.py:90-118): select layers,
+    optional batch/instance norm (in [B,C,T] layout), per-layer layer norm,
+    average, optional post-norms. Returns [B, N, C] float32."""
+    vals = [layer_outputs[i].astype(jnp.float32) for i in hp.target_layers]
+
+    if hp.target_batch_norm or hp.target_instance_norm:
+        vals = [jnp.swapaxes(v, 1, 2) for v in vals]  # btc → bct
+        if hp.target_batch_norm:
+            vals = [_batch_norm_bct(v) for v in vals]
+        if hp.target_instance_norm:
+            vals = [_instance_norm_bct(v) for v in vals]
+        vals = [jnp.swapaxes(v, 1, 2) for v in vals]  # bct → btc
+
+    if hp.target_layer_norm_last:
+        vals = [_ln(v) for v in vals]
+
+    targets = sum(vals) / len(hp.target_layers)
+
+    if hp.post_target_instance_norm:
+        targets = jnp.swapaxes(_instance_norm_bct(jnp.swapaxes(targets, 1, 2)), 1, 2)
+    if hp.post_target_layer_norm:
+        targets = _ln(targets)
+    return targets
+
+
+def make_cyclical_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    hp: CyclicalHParams,
+    lr_schedule: Optional[Callable] = None,
+    donate: bool = True,
+):
+    """Returns jitted (state, images, mask, rng) → (state, metrics).
+
+    images: [B, H, W, 3] (already normalized); mask: [B, num_patches] {0,1}.
+    """
+
+    def step_fn(state: CyclicalState, images, bool_masked_pos, rng):
+        r_mask, r_drop, r_path = jax.random.split(jax.random.fold_in(rng, state.step), 3)
+
+        mask = bool_masked_pos.astype(jnp.float32)
+        if hp.mask_dropout_prob > 0:
+            keep = jax.random.bernoulli(
+                r_mask, 1.0 - hp.mask_dropout_prob, mask.shape
+            ).astype(jnp.float32)
+            mask = keep * mask
+
+        # Teacher forward on EMA params: all tokens, all layers, no grad
+        # (engine_for_cyclical.py:68-88).
+        layer_outputs = model.apply(
+            {"params": state.ema_params},
+            images,
+            None,
+            layer_results=hp.layer_results,
+            deterministic=True,
+        )
+        targets = jax.lax.stop_gradient(build_targets(layer_outputs, hp))
+
+        def loss_fn(params):
+            outputs = model.apply(
+                {"params": params},
+                images,
+                mask,
+                deterministic=False,
+                rngs={"dropout": r_drop, "droppath": r_path},
+            ).astype(jnp.float32)
+            loss_cyc = L.masked_regression_loss(
+                outputs, targets, mask, beta=hp.l1_beta, l2=hp.l2_loss
+            )
+            std_loss0 = (
+                L.masked_variance_hinge(outputs, mask, hp.var_margin0)
+                if hp.var_w0 > 0
+                else jnp.zeros((), jnp.float32)
+            )
+            loss = loss_cyc + std_loss0 * hp.var_w0
+            if hp.loss_scale != -1:
+                loss = loss * hp.loss_scale
+            return loss, (loss_cyc, std_loss0)
+
+        (loss, (loss_cyc, std_loss0)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        ema_params = cyclical_ema_step(
+            state.ema_params,
+            params,
+            state.step,
+            hp.ema_decay,
+            hp.ema_decay_init,
+            hp.ema_start_at,
+            hp.start_lr_decay_at_step,
+        )
+
+        new_state = CyclicalState(
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "loss_cyc": loss_cyc,
+            "loss_var0": std_loss0,
+            "grad_norm": global_norm(grads),
+            "mask_count": mask.sum() / mask.shape[0],
+        }
+        if lr_schedule is not None:
+            metrics["lr"] = lr_schedule(state.step)
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def init_cyclical_state(
+    model, tx: optax.GradientTransformation, rng, sample_images, sample_mask
+) -> CyclicalState:
+    params = model.init(rng, sample_images, sample_mask)["params"]
+    return CyclicalState(
+        params=params,
+        opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        step=jnp.zeros([], jnp.int32),
+    )

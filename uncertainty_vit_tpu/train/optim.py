@@ -1,0 +1,169 @@
+"""Optimizer factory: AdamW with layer-wise LR decay and scheduled decoupled
+weight decay (optim_factory.py + engine per-step group assignment).
+
+The reference mutates optimizer param_group lr/wd every step on the host
+(engine_for_cyclical.py:48-53). Here both schedules live inside the compiled
+step via optax transforms, and the per-group lr_scale / no-decay structure
+(optim_factory.py:58-97) becomes per-parameter trees computed once from the
+param paths.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# Layer-id assignment (optim_factory.py:33-55)
+# ---------------------------------------------------------------------------
+
+def vit_layer_id(path: Tuple[str, ...], num_max_layer: int) -> int:
+    """get_num_layer_for_vit semantics on our param tree paths.
+
+    num_max_layer = depth + 2 (LayerDecayValueAssigner gets depth+2 values,
+    run_class_finetuning.py:570-571).
+    """
+    names = [str(p) for p in path]
+    flat = ".".join(names)
+    leafname = names[-1] if names else ""
+    if leafname in ("cls_token", "mask_token", "pos_embed"):
+        return 0
+    if "patch_embed" in names:
+        return 0
+    if "rel_pos_bias" in names:
+        return num_max_layer - 1
+    for n in names:
+        if n.startswith("blocks_"):
+            return int(n.split("_")[1]) + 1
+    del flat
+    return num_max_layer - 1
+
+
+def layer_decay_scales(params: Any, layer_decay: float, depth: int) -> Any:
+    """Per-parameter lr multiplier tree: decay^(depth+1-layer_id)
+    (run_class_finetuning.py:570-576)."""
+    num_max_layer = depth + 2
+    values = [layer_decay ** (num_max_layer - 1 - i) for i in range(num_max_layer)]
+
+    def scale(path, leaf):
+        return values[vit_layer_id(tuple(p.key for p in path), num_max_layer)]
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def weight_decay_mask(params: Any, skip_names: Sequence[str] = ("pos_embed", "cls_token")) -> Any:
+    """True where decoupled weight decay applies (optim_factory.py:66-70):
+    excludes 1-D params, biases, and the skip list."""
+
+    def decayed(path, leaf):
+        names = [str(p.key) for p in path]
+        if leaf.ndim <= 1:
+            return False
+        if names and names[-1] in skip_names:
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(decayed, params)
+
+
+# ---------------------------------------------------------------------------
+# optax transforms
+# ---------------------------------------------------------------------------
+
+def scale_by_tree(scales: Any) -> optax.GradientTransformation:
+    """Multiply each update leaf by a fixed per-parameter scalar (lr_scale)."""
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree_util.tree_map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init, update)
+
+
+class ScheduledWDState(NamedTuple):
+    count: jnp.ndarray
+
+
+def add_scheduled_decayed_weights(
+    wd_schedule: Callable, mask: Any
+) -> optax.GradientTransformation:
+    """Decoupled weight decay whose coefficient follows a per-step schedule
+    (the reference's separate WD cosine array, run_cyclical.py:550-557)."""
+
+    def init(params):
+        del params
+        return ScheduledWDState(count=jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params):
+        wd = wd_schedule(state.count)
+        updates = jax.tree_util.tree_map(
+            lambda u, p, m: u + wd * p if m else u, updates, params, mask
+        )
+        return updates, ScheduledWDState(count=state.count + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(
+    params: Any,
+    lr_schedule: Callable,
+    *,
+    weight_decay: float = 0.05,
+    wd_schedule: Optional[Callable] = None,
+    clip_grad: Optional[float] = None,
+    betas: Tuple[float, float] = (0.9, 0.999),
+    eps: float = 1e-8,
+    layer_decay: Optional[float] = None,
+    depth: int = 12,
+    opt_name: str = "adamw",
+    momentum: float = 0.9,
+    skip_names: Sequence[str] = ("pos_embed", "cls_token"),
+    accum_steps: int = 1,
+) -> optax.GradientTransformation:
+    """AdamW (default) matching the reference group semantics: per-step
+    lr(step)·lr_scale applied to adam_update + wd(step)·param for decayed
+    params (optim_factory.py:100-182; engine_for_cyclical.py:48-53). Gradient
+    accumulation uses optax.MultiSteps (update_freq,
+    engine_for_finetuning.py:66)."""
+    chain = []
+    if clip_grad is not None and clip_grad > 0:
+        chain.append(optax.clip_by_global_norm(clip_grad))
+
+    if opt_name == "adamw":
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    elif opt_name == "sgd":
+        chain.append(optax.trace(decay=momentum, nesterov=True))
+    elif opt_name == "adafactor":
+        chain.append(optax.scale_by_factored_rms())
+    else:
+        raise ValueError(f"unknown optimizer: {opt_name}")
+
+    if weight_decay:
+        mask = weight_decay_mask(params, skip_names)
+        sched = wd_schedule or (lambda step: jnp.full((), weight_decay, jnp.float32))
+        chain.append(add_scheduled_decayed_weights(sched, mask))
+
+    if layer_decay is not None and layer_decay < 1.0:
+        scales = layer_decay_scales(params, layer_decay, depth)
+        chain.append(scale_by_tree(scales))
+
+    chain.append(optax.scale_by_schedule(lambda step: -lr_schedule(step)))
+
+    tx = optax.chain(*chain)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
+def global_norm(tree: Any) -> jnp.ndarray:
+    """Reference get_grad_norm_ (utils.py:392-405): global L2 norm."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(l.astype(jnp.float32) ** 2) for l in leaves))
