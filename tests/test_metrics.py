@@ -1,0 +1,156 @@
+"""Metric parity vs the reference numpy formulas (uncertainty_evaluations.py:99-272)
+recomputed inline, plus MC-dropout / ensemble behavior."""
+
+import numpy as np
+from scipy.special import softmax as np_softmax
+
+import jax
+import jax.numpy as jnp
+
+from uncertainty_vit_tpu.core.config import ViTConfig
+from uncertainty_vit_tpu.evals import metrics as M
+from uncertainty_vit_tpu.evals.ensembles import make_ensemble_forward, stack_params
+from uncertainty_vit_tpu.evals.mc_dropout import (
+    make_mc_dropout_forward, mutual_information, predictive_entropy,
+)
+from uncertainty_vit_tpu.models.vit import VisionTransformer
+
+N, C = 400, 7
+rs = np.random.RandomState(0)
+LOGITS = (rs.randn(N, C) * 2).astype(np.float32)
+LABELS = rs.randint(0, C, N)
+
+
+def ref_bin_stats(conf, acc, lowers, uppers):
+    prop = np.zeros(len(lowers))
+    bacc = np.zeros(len(lowers))
+    bconf = np.zeros(len(lowers))
+    score = np.zeros(len(lowers))
+    for i, (lo, up) in enumerate(zip(lowers, uppers)):
+        in_bin = (conf > lo) & (conf <= up)
+        prop[i] = in_bin.mean()
+        if prop[i] > 0:
+            bacc[i] = acc[in_bin].mean()
+            bconf[i] = conf[in_bin].mean()
+            score[i] = abs(bconf[i] - bacc[i])
+    return prop, bacc, bconf, score
+
+
+def ref_maxprob(n_bins=15):
+    probs = np_softmax(LOGITS, axis=1)
+    conf = probs.max(1)
+    acc = (probs.argmax(1) == LABELS).astype(float)
+    b = np.linspace(0, 1, n_bins + 1)
+    return ref_bin_stats(conf, acc, b[:-1], b[1:])
+
+
+def test_ece_mce_oe():
+    prop, bacc, bconf, score = ref_maxprob()
+    np.testing.assert_allclose(float(M.ece(jnp.asarray(LOGITS), jnp.asarray(LABELS))),
+                               np.dot(prop, score), rtol=1e-5)
+    np.testing.assert_allclose(float(M.mce(jnp.asarray(LOGITS), jnp.asarray(LABELS))),
+                               score.max(), rtol=1e-5)
+    np.testing.assert_allclose(float(M.oe(jnp.asarray(LOGITS), jnp.asarray(LABELS))),
+                               np.dot(prop, bconf * np.maximum(bconf - bacc, 0)), rtol=1e-5)
+
+
+def test_sce():
+    probs = np_softmax(LOGITS, axis=1)
+    b = np.linspace(0, 1, 16)
+    total = 0.0
+    for c in range(C):
+        prop, _, _, score = ref_bin_stats(probs[:, c], (LABELS == c).astype(float), b[:-1], b[1:])
+        total += np.dot(prop, score)
+    np.testing.assert_allclose(float(M.sce(jnp.asarray(LOGITS), jnp.asarray(LABELS))),
+                               total / C, rtol=1e-5)
+
+
+def test_tace_and_ace():
+    for thresh, n_bins, fn in ((0.01, 30, M.tace), (0.0, 15, M.ace)):
+        probs = np_softmax(LOGITS, axis=1).copy()
+        probs[probs < thresh] = 0
+        bin_n = N // n_bins
+        total = 0.0
+        for c in range(C):
+            srt = np.sort(probs[:, c])
+            bounds = np.array([srt[i * bin_n] for i in range(n_bins)] + [1.0])
+            prop, _, _, score = ref_bin_stats(
+                probs[:, c], (LABELS == c).astype(float), bounds[:-1], bounds[1:]
+            )
+            total += np.dot(prop, score)
+        ours = float(fn(jnp.asarray(LOGITS), jnp.asarray(LABELS)))
+        np.testing.assert_allclose(ours, total / C, rtol=1e-5, atol=1e-7)
+
+
+def test_brier_and_nll():
+    probs = np_softmax(LOGITS, axis=1)
+    one_hot = np.eye(C)[LABELS]
+    np.testing.assert_allclose(float(M.brier(jnp.asarray(LOGITS), jnp.asarray(LABELS))),
+                               np.mean(np.sum((probs - one_hot) ** 2, axis=1)), rtol=1e-5)
+    np.testing.assert_allclose(float(M.nll(jnp.asarray(LOGITS), jnp.asarray(LABELS))),
+                               -np.mean(np.log(probs[np.arange(N), LABELS])), rtol=1e-5)
+
+
+def test_auroc_matches_sklearn_style_reference():
+    """Rank-based AUROC vs a direct pairwise-comparison computation."""
+    probs = np_softmax(LOGITS, axis=1)
+    aucs = []
+    for c in range(C):
+        pos = probs[LABELS == c, c]
+        neg = probs[LABELS != c, c]
+        if len(pos) == 0 or len(neg) == 0:
+            continue
+        greater = (pos[:, None] > neg[None, :]).sum()
+        ties = (pos[:, None] == neg[None, :]).sum()
+        aucs.append((greater + 0.5 * ties) / (len(pos) * len(neg)))
+    expected = np.mean(aucs)
+    ours = float(M.auroc_ovr_macro(jnp.asarray(LOGITS), jnp.asarray(LABELS)))
+    np.testing.assert_allclose(ours, expected, rtol=1e-5)
+
+
+def test_accuracy_topk():
+    acc1, acc5 = M.accuracy_topk(jnp.asarray(LOGITS), jnp.asarray(LABELS))
+    pred = LOGITS.argmax(1)
+    np.testing.assert_allclose(float(acc1), 100.0 * (pred == LABELS).mean(), rtol=1e-5)
+    top5 = np.argsort(-LOGITS, axis=1)[:, :5]
+    np.testing.assert_allclose(float(acc5), 100.0 * np.mean([
+        LABELS[i] in top5[i] for i in range(N)
+    ]), rtol=1e-5)
+
+
+TINY = ViTConfig(img_size=32, patch_size=16, embed_dim=16, depth=2, num_heads=2,
+                 num_classes=5, drop_rate=0.2, use_flash_attention=False)
+
+
+def test_mc_dropout_vmapped_samples_differ_and_average():
+    model = VisionTransformer(cfg=TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    fwd = make_mc_dropout_forward(model, num_samples=4)
+    logits_k = fwd(variables, x, jax.random.PRNGKey(2))
+    assert logits_k.shape == (4, 4, 5)
+    # different dropout masks per sample
+    assert not np.allclose(np.asarray(logits_k[0]), np.asarray(logits_k[1]))
+    # deterministic under the same rng
+    logits_k2 = fwd(variables, x, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(logits_k), np.asarray(logits_k2), rtol=1e-5)
+
+    probs_k = jax.nn.softmax(logits_k, axis=-1)
+    h = predictive_entropy(probs_k.mean(0))
+    mi = mutual_information(probs_k)
+    assert h.shape == (4,) and mi.shape == (4,)
+    assert bool((mi >= -1e-5).all())
+    assert bool((h + 1e-6 >= mi).all())
+
+
+def test_ensemble_forward():
+    model = VisionTransformer(cfg=TINY.replace(drop_rate=0.0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    members = [model.init(jax.random.PRNGKey(i), x) for i in range(3)]
+    stacked = stack_params(members)
+    fwd = make_ensemble_forward(model)
+    logits = fwd(stacked, x)
+    assert logits.shape == (3, 4, 5)
+    # member outputs match individual applies
+    single = model.apply(members[1], x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(logits[1]), np.asarray(single), rtol=1e-4, atol=1e-5)

@@ -1,0 +1,100 @@
+"""Evaluation loops: deterministic, MC-dropout, and ensemble classification.
+
+Replaces engine_for_finetuning.evaluate (:174-220) and
+uncertainty_evaluations.evaluate_MC_dropout (:41-89). Batches stream through
+one jitted forward; logits accumulate on host and every metric is computed
+once, globally (the reference averages ECE/TACE/... per batch — a documented
+bias this build fixes; acc/NLL are unaffected).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncertainty_vit_tpu.evals import metrics as M
+from uncertainty_vit_tpu.evals.ensembles import ensemble_mean_logits, make_ensemble_forward
+from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
+
+
+def _collect_logits(
+    forward: Callable, batches: Iterable, *extra_args
+) -> Tuple[np.ndarray, np.ndarray]:
+    logits_all, labels_all = [], []
+    for batch in batches:
+        images, labels = batch[0], batch[-1]
+        logits = forward(images, *extra_args)
+        logits_all.append(np.asarray(logits, dtype=np.float32))
+        labels_all.append(np.asarray(labels))
+    return np.concatenate(logits_all), np.concatenate(labels_all)
+
+
+def evaluate(
+    model,
+    variables: Any,
+    batches: Iterable,
+) -> Dict[str, float]:
+    """Deterministic eval: acc1/5 + full calibration suite on global logits."""
+    fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
+    logits, labels = _collect_logits(fwd, batches)
+    out = M.classification_metrics(jnp.asarray(logits), jnp.asarray(labels))
+    out["loss"] = out["nll"]  # CE == NLL for hard labels
+    return {k: float(v) for k, v in out.items()}
+
+
+def evaluate_mc_dropout(
+    model,
+    variables: Any,
+    batches: Iterable,
+    num_samples: int = 8,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, float]:
+    """K-sample MC-dropout eval on mean logits (uncertainty_evaluations.py:41-89).
+
+    `model` must be built with drop_path_rate=0 and the finetuned dropout
+    rates (see evals/mc_dropout.py docstring).
+    """
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    mean_fwd = make_mc_dropout_mean_forward(model, num_samples)
+
+    logits_all, labels_all = [], []
+    for i, batch in enumerate(batches):
+        images, labels = batch[0], batch[-1]
+        logits = mean_fwd(variables, images, jax.random.fold_in(rng, i))
+        logits_all.append(np.asarray(logits, dtype=np.float32))
+        labels_all.append(np.asarray(labels))
+    logits = np.concatenate(logits_all)
+    labels = np.concatenate(labels_all)
+    out = M.classification_metrics(jnp.asarray(logits), jnp.asarray(labels))
+    return {k: float(v) for k, v in out.items()}
+
+
+def evaluate_ensemble(
+    model,
+    stacked_variables: Any,
+    batches: Iterable,
+) -> Dict[str, Any]:
+    """Per-member metrics + mean-logit ensemble metrics
+    (engine_for_finetuning.py:224-343)."""
+    fwd = make_ensemble_forward(model)
+
+    member_logits_all, labels_all = [], []
+    for batch in batches:
+        images, labels = batch[0], batch[-1]
+        member_logits = fwd(stacked_variables, images)  # [M, B, C]
+        member_logits_all.append(np.asarray(member_logits, dtype=np.float32))
+        labels_all.append(np.asarray(labels))
+    member_logits = np.concatenate(member_logits_all, axis=1)
+    labels = jnp.asarray(np.concatenate(labels_all))
+
+    results: Dict[str, Any] = {"members": []}
+    for m in range(member_logits.shape[0]):
+        mm = M.classification_metrics(jnp.asarray(member_logits[m]), labels)
+        results["members"].append({k: float(v) for k, v in mm.items()})
+    mean_logits = ensemble_mean_logits(jnp.asarray(member_logits))
+    em = M.classification_metrics(mean_logits, labels)
+    results["ensemble"] = {k: float(v) for k, v in em.items()}
+    return results
