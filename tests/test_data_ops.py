@@ -1,0 +1,200 @@
+"""Tests for the on-device masking generator and augmentation kernels."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from uncertainty_vit_tpu.ops import augment as A
+from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask, blockwise_mask
+from uncertainty_vit_tpu.ops.mixup import mixup_cutmix, one_hot_smooth
+
+
+# ---------------------------------------------------------------------------
+# Blockwise masking
+# ---------------------------------------------------------------------------
+
+def reference_blockwise_mask(rng, height=14, width=14, num_masking=120, min_num=16,
+                             max_num=None, min_aspect=0.3):
+    """Independent numpy implementation of the documented algorithm
+    (masking_generator.py:29-92) for distribution comparison."""
+    import math
+    max_num = num_masking if max_num is None else max_num
+    log_l, log_u = math.log(min_aspect), math.log(1 / min_aspect)
+    mask = np.zeros((height, width), dtype=np.int64)
+    count = 0
+    while count < num_masking:
+        remaining = min(num_masking - count, max_num)
+        delta = 0
+        for _ in range(10):
+            target_area = rng.uniform(min_num, remaining)
+            aspect = math.exp(rng.uniform(log_l, log_u))
+            h = int(round(math.sqrt(target_area * aspect)))
+            w = int(round(math.sqrt(target_area / aspect)))
+            if w < width and h < height:
+                top = rng.randint(0, height - h + 1)
+                left = rng.randint(0, width - w + 1)
+                overlap = mask[top:top + h, left:left + w].sum()
+                d = h * w - overlap
+                if 0 < d <= remaining:
+                    mask[top:top + h, left:left + w] = 1
+                    delta = d
+            if delta > 0:
+                break
+        if delta == 0:
+            break
+        count = int(mask.sum())
+    return mask
+
+
+def test_blockwise_mask_shape_and_count():
+    masks = batched_blockwise_mask(jax.random.PRNGKey(0), 64)
+    assert masks.shape == (64, 196)
+    counts = np.asarray(masks.sum(axis=1))
+    # never exceeds the target; overwhelmingly reaches it for recipe settings
+    assert counts.max() <= 120
+    assert counts.mean() > 110, counts.mean()
+    assert (np.asarray(masks) >= 0).all() and (np.asarray(masks) <= 1).all()
+
+
+def test_blockwise_mask_distribution_close_to_reference():
+    rng = np.random.RandomState(0)
+    ref_counts = [reference_blockwise_mask(rng).sum() for _ in range(50)]
+    masks = batched_blockwise_mask(jax.random.PRNGKey(1), 50)
+    ours = np.asarray(masks.sum(axis=1))
+    assert abs(np.mean(ref_counts) - ours.mean()) < 6.0, (np.mean(ref_counts), ours.mean())
+
+
+def test_blockwise_mask_blocks_are_contiguousish():
+    """Masked patches form rectangles; a mask of 120/196 patches should have
+    far fewer connected components than random scatter."""
+    mask = np.asarray(blockwise_mask(jax.random.PRNGKey(2))).astype(int)
+    from scipy import ndimage
+
+    _, n_components = ndimage.label(mask)
+    assert n_components <= 10, n_components
+
+
+def test_mask_deterministic_per_key():
+    a = blockwise_mask(jax.random.PRNGKey(3))
+    b = blockwise_mask(jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = blockwise_mask(jax.random.PRNGKey(4))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+# ---------------------------------------------------------------------------
+# Augmentation ops
+# ---------------------------------------------------------------------------
+
+def test_color_jitter_ops_match_torch_formulas():
+    rs = np.random.RandomState(0)
+    img = rs.rand(8, 8, 3).astype(np.float32)
+    f = 1.3
+    out_b = np.asarray(A._adjust_brightness(jnp.asarray(img), f))
+    np.testing.assert_allclose(out_b, np.clip(img * f, 0, 1), rtol=1e-5)
+
+    gray = (img * np.array([0.299, 0.587, 0.114])).sum(-1, keepdims=True)
+    out_s = np.asarray(A._adjust_saturation(jnp.asarray(img), f))
+    np.testing.assert_allclose(out_s, np.clip(img * f + gray * (1 - f), 0, 1), rtol=1e-4, atol=1e-5)
+
+    out_c = np.asarray(A._adjust_contrast(jnp.asarray(img), f))
+    np.testing.assert_allclose(out_c, np.clip(img * f + gray.mean() * (1 - f), 0, 1), rtol=1e-4, atol=1e-5)
+
+
+def test_random_resized_crop_shapes_and_determinism():
+    img = jnp.asarray(np.random.RandomState(0).rand(64, 48, 3).astype(np.float32))
+    out = A.random_resized_crop(jax.random.PRNGKey(0), img, 32)
+    assert out.shape == (32, 32, 3)
+    out2 = A.random_resized_crop(jax.random.PRNGKey(0), img, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2))
+    out3 = A.random_resized_crop(jax.random.PRNGKey(1), img, 32)
+    assert not np.allclose(np.asarray(out), np.asarray(out3))
+    assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+
+
+def test_crop_and_resize_identity_box():
+    """Full-image box with matching output size ≈ identity."""
+    img = jnp.asarray(np.random.RandomState(0).rand(16, 16, 3).astype(np.float32))
+    out = A.crop_and_resize(
+        img, jnp.int32(0), jnp.int32(0), jnp.int32(16), jnp.int32(16), (16, 16),
+        method="linear",
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-5)
+
+
+def test_crop_and_resize_subbox_unit_scale_matches_slice():
+    """With crop size == output size (scale 1, integer translation), linear
+    resampling is exact, so the result must equal the plain slice."""
+    img = jnp.asarray(np.arange(16 * 16 * 1, dtype=np.float32).reshape(16, 16, 1))
+    out = A.crop_and_resize(
+        img, jnp.int32(4), jnp.int32(6), jnp.int32(8), jnp.int32(8), (8, 8),
+        method="linear",
+    )
+    np.testing.assert_allclose(np.asarray(out)[..., 0], np.asarray(img)[4:12, 6:14, 0], atol=1e-4)
+
+
+def test_two_pic_same_region():
+    # smooth gradient image: the sampler has no antialiasing, so random-noise
+    # content would alias under downscale and mask the same-region property
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
+    img = jnp.asarray(np.stack([yy, xx, (yy + xx) / 2], -1).astype(np.float32))
+    a, b = A.random_resized_crop_two_pic(
+        jax.random.PRNGKey(5), img, 32, 16, method="linear", second_method="linear"
+    )
+    assert a.shape == (32, 32, 3) and b.shape == (16, 16, 3)
+    # second view is the same region: downsampled first ≈ second
+    a_small = jax.image.resize(a, (16, 16, 3), method="linear")
+    assert float(jnp.abs(a_small - b).mean()) < 0.06
+
+
+def test_random_erasing_region_and_prob():
+    img = jnp.zeros((32, 32, 3), jnp.float32)
+    out = A.random_erasing(jax.random.PRNGKey(0), img, prob=1.0)
+    changed = np.asarray((out != 0).any(-1))
+    assert changed.any()
+    # the erased region is a rectangle
+    rows = np.where(changed.any(1))[0]
+    cols = np.where(changed.any(0))[0]
+    sub = changed[rows.min():rows.max() + 1, cols.min():cols.max() + 1]
+    assert sub.all()
+    # prob=0 → untouched
+    out0 = A.random_erasing(jax.random.PRNGKey(0), img, prob=0.0)
+    np.testing.assert_array_equal(np.asarray(out0), 0.0)
+
+
+def test_eval_resize_center_crop():
+    img = jnp.asarray(np.random.RandomState(0).rand(100, 80, 3).astype(np.float32))
+    out = A.eval_resize_center_crop(img, 32, crop_pct=0.9)
+    assert out.shape == (32, 32, 3)
+
+
+def test_batched_pipelines_run():
+    imgs = np.random.RandomState(0).randint(0, 255, (4, 64, 64, 3), dtype=np.uint8)
+    out = A.pretrain_augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs), out_size=32)
+    assert out.shape == (4, 32, 32, 3)
+    out_ft = A.finetune_train_augment_batch(jax.random.PRNGKey(0), jnp.asarray(imgs), out_size=32)
+    assert out_ft.shape == (4, 32, 32, 3)
+    out_ev = A.eval_transform_batch(jnp.asarray(imgs), out_size=32)
+    assert out_ev.shape == (4, 32, 32, 3)
+    for o in (out, out_ft, out_ev):
+        assert np.isfinite(np.asarray(o)).all()
+
+
+def test_mixup_cutmix_targets_sum_to_one():
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    labels = jnp.arange(8) % 4
+    mixed, targets = mixup_cutmix(rng, imgs, labels, num_classes=4)
+    assert mixed.shape == imgs.shape and targets.shape == (8, 4)
+    np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, rtol=1e-5)
+    # smoothing floor present
+    assert float(targets.min()) >= 0.1 / 4 - 1e-6
+
+
+def test_one_hot_smooth_matches_timm():
+    t = np.asarray(one_hot_smooth(jnp.asarray([2]), 5, 0.1))[0]
+    expected = np.full(5, 0.1 / 5)
+    expected[2] = 1 - 0.1 + 0.1 / 5
+    np.testing.assert_allclose(t, expected, rtol=1e-6)

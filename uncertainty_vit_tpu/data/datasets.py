@@ -1,0 +1,318 @@
+"""Dataset adapters (host side, torchvision-free).
+
+Replaces the reference's dataset layer (datasets.py:131-218,
+dist_datasets.py, dataset_folder.py, tin.py) with self-contained readers
+that yield raw uint8 HWC images + int labels. All augmentation happens on
+device (ops/augment.py) — datasets only decode.
+
+Families covered:
+  - CIFAR-10/100 (python pickle batches) + SSL labeled split (the missing
+    `cifar_semi.x_u_split` import at datasets.py:29 — equal per-class
+    labeled subsets, FixMatch-style)
+  - SVHN (.mat via scipy)
+  - ImageFolder (class-sorted directories, corrupt-file retry like
+    dataset_folder.py:164-171)
+  - TinyImageNet-200 (wnids/val_annotations parsing, tin.py:32-90) and
+    TinyImageNet-C (distortion/severity dirs, tin.py:169-259)
+  - CIFAR-C (per-distortion .npy with 5 severities × 10k) and CIFAR-P
+    (per-perturbation .npy video tensors)
+  - Triplet wrapper for the stochastic finetune (dist_datasets.py:20-148):
+    (img, pos=same image, neg=random other-class image, label)
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import random
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", ".webp")
+
+
+class ArrayDataset:
+    """In-memory uint8 images [N, H, W, C] + labels [N]."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray):
+        assert len(images) == len(labels)
+        self.images = images
+        self.labels = np.asarray(labels, np.int64)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+        return self.images[idx], int(self.labels[idx])
+
+
+# ---------------------------------------------------------------------------
+# CIFAR
+# ---------------------------------------------------------------------------
+
+def _load_cifar_batch(path: str, labels_key: bytes) -> Tuple[np.ndarray, List[int]]:
+    with open(path, "rb") as f:
+        entry = pickle.load(f, encoding="bytes")
+    data = entry[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return data, list(entry[labels_key])
+
+
+def load_cifar(root: str, cifar100: bool, train: bool) -> ArrayDataset:
+    if cifar100:
+        base = os.path.join(root, "cifar-100-python")
+        files = ["train"] if train else ["test"]
+        key = b"fine_labels"
+    else:
+        base = os.path.join(root, "cifar-10-batches-py")
+        files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+        key = b"labels"
+    images, labels = [], []
+    for fn in files:
+        d, l = _load_cifar_batch(os.path.join(base, fn), key)
+        images.append(d)
+        labels.extend(l)
+    return ArrayDataset(np.concatenate(images), np.asarray(labels))
+
+
+def ssl_split(
+    labels: Sequence[int], num_labeled: int, num_classes: int, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """x_u_split semantics (the reference's missing `cifar_semi` module,
+    datasets.py:29): equal per-class labeled subsets; everything is kept in
+    the unlabeled pool."""
+    labels = np.asarray(labels)
+    per_class = num_labeled // num_classes
+    rng = np.random.RandomState(seed)
+    labeled = []
+    for c in range(num_classes):
+        idx = np.where(labels == c)[0]
+        if len(idx) == 0:
+            continue
+        labeled.append(rng.choice(idx, min(per_class, len(idx)), replace=False))
+    labeled_idx = np.concatenate(labeled)
+    rng.shuffle(labeled_idx)
+    return labeled_idx, np.arange(len(labels))
+
+
+class Subset:
+    def __init__(self, base, indices: Sequence[int]):
+        self.base = base
+        self.indices = np.asarray(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.base[int(self.indices[i])]
+
+    @property
+    def labels(self):
+        return np.asarray(self.base.labels)[self.indices]
+
+
+# ---------------------------------------------------------------------------
+# SVHN
+# ---------------------------------------------------------------------------
+
+def load_svhn(root: str, split: str) -> ArrayDataset:
+    import scipy.io as sio
+
+    mat = sio.loadmat(os.path.join(root, f"{split}_32x32.mat"))
+    images = np.transpose(mat["X"], (3, 0, 1, 2))  # HWCN → NHWC
+    labels = mat["y"].astype(np.int64).squeeze()
+    labels[labels == 10] = 0  # torchvision convention
+    return ArrayDataset(images, labels)
+
+
+# ---------------------------------------------------------------------------
+# ImageFolder
+# ---------------------------------------------------------------------------
+
+def find_classes(directory: str) -> Tuple[List[str], dict]:
+    classes = sorted(
+        e.name for e in os.scandir(directory) if e.is_dir()
+    )
+    return classes, {c: i for i, c in enumerate(classes)}
+
+
+class ImageFolder:
+    """Class-per-directory image dataset; decodes to uint8 RGB with an
+    optional fixed decode size (host resize, keeping device shapes static).
+
+    Corrupt files are tolerated by retrying a random other index
+    (dataset_folder.py:164-171)."""
+
+    def __init__(
+        self,
+        root: str,
+        decode_size: Optional[int] = None,
+        is_valid_file: Optional[Callable[[str], bool]] = None,
+    ):
+        self.root = root
+        self.decode_size = decode_size
+        classes, class_to_idx = find_classes(root)
+        self.classes = classes
+        self.samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for dirpath, _, files in sorted(os.walk(cdir, followlinks=True)):
+                for fn in sorted(files):
+                    if fn.lower().endswith(IMG_EXTENSIONS):
+                        path = os.path.join(dirpath, fn)
+                        if is_valid_file is None or is_valid_file(path):
+                            self.samples.append((path, class_to_idx[c]))
+        self.labels = np.asarray([s[1] for s in self.samples])
+
+    def __len__(self):
+        return len(self.samples)
+
+    def _decode(self, path: str) -> np.ndarray:
+        from PIL import Image
+
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            if self.decode_size is not None:
+                # resize shorter side then center crop to a square canonical
+                # size; the device RRC then crops from this canvas
+                w, h = im.size
+                s = self.decode_size
+                if w <= h:
+                    nw, nh = s, max(int(round(s * h / w)), s)
+                else:
+                    nh, nw = s, max(int(round(s * w / h)), s)
+                im = im.resize((nw, nh), Image.BICUBIC)
+                left, top = (nw - s) // 2, (nh - s) // 2
+                im = im.crop((left, top, left + s, top + s))
+            return np.asarray(im, dtype=np.uint8)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+        for _ in range(5):
+            path, label = self.samples[idx]
+            try:
+                return self._decode(path), label
+            except Exception:
+                idx = random.randrange(len(self.samples))
+        raise RuntimeError(f"too many corrupt images near {path}")
+
+
+# ---------------------------------------------------------------------------
+# TinyImageNet
+# ---------------------------------------------------------------------------
+
+class TinyImageNet(ImageFolder):
+    """TinyImageNet-200 layout (tin.py:32-90): train/<wnid>/images/*.JPEG;
+    val/images/*.JPEG with val_annotations.txt; class ids from wnids.txt."""
+
+    def __init__(self, root: str, mode: str = "train", decode_size: Optional[int] = None):
+        self.root = root
+        self.decode_size = decode_size
+        with open(os.path.join(root, "wnids.txt")) as f:
+            wnids = [l.strip() for l in f if l.strip()]
+        self.classes = sorted(wnids)
+        class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples = []
+        if mode == "train":
+            for wnid in self.classes:
+                imgdir = os.path.join(root, "train", wnid, "images")
+                if not os.path.isdir(imgdir):
+                    continue
+                for fn in sorted(os.listdir(imgdir)):
+                    if fn.lower().endswith(IMG_EXTENSIONS):
+                        self.samples.append((os.path.join(imgdir, fn), class_to_idx[wnid]))
+        else:
+            ann = os.path.join(root, "val", "val_annotations.txt")
+            with open(ann) as f:
+                for line in f:
+                    parts = line.split("\t")
+                    if len(parts) >= 2:
+                        fn, wnid = parts[0], parts[1]
+                        self.samples.append(
+                            (os.path.join(root, "val", "images", fn), class_to_idx[wnid])
+                        )
+        self.labels = np.asarray([s[1] for s in self.samples])
+
+
+class TinyImageNetC(ImageFolder):
+    """TinyImageNet-C: <root>/<distortion>/<severity>/<wnid>/*.JPEG
+    (tin.py:169-259)."""
+
+    def __init__(
+        self, root: str, distortion: str, severity: int,
+        wnids_path: Optional[str] = None, decode_size: Optional[int] = None,
+    ):
+        self.root = root
+        self.decode_size = decode_size
+        wnids_file = wnids_path or os.path.join(root, "wnids.txt")
+        with open(wnids_file) as f:
+            wnids = [l.strip() for l in f if l.strip()]
+        self.classes = sorted(wnids)
+        class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        base = os.path.join(root, distortion, str(severity))
+        self.samples = []
+        for wnid in sorted(os.listdir(base)):
+            if wnid not in class_to_idx:
+                continue
+            cdir = os.path.join(base, wnid)
+            for fn in sorted(os.listdir(cdir)):
+                if fn.lower().endswith(IMG_EXTENSIONS):
+                    self.samples.append((os.path.join(cdir, fn), class_to_idx[wnid]))
+        self.labels = np.asarray([s[1] for s in self.samples])
+
+
+# ---------------------------------------------------------------------------
+# Corruption / perturbation tensors
+# ---------------------------------------------------------------------------
+
+# uncertainty_evaluations.py:846-853
+CIFAR_DISTORTIONS = (
+    "gaussian_noise", "shot_noise", "impulse_noise", "defocus_blur",
+    "glass_blur", "motion_blur", "zoom_blur", "snow", "frost", "fog",
+    "brightness", "contrast", "elastic_transform", "pixelate",
+    "jpeg_compression",
+)
+CIFAR_PERTURBATIONS = ("gaussian_noise", "shot_noise", "motion_blur", "zoom_blur",
+                       "spatter", "brightness", "translate", "rotate", "tilt", "scale")
+
+
+def load_cifar_c(root: str, distortion: str, severity: int) -> ArrayDataset:
+    """CIFAR-10/100-C: <root>/<distortion>.npy [50000,32,32,3] (5 severities
+    × 10k) + labels.npy."""
+    data = np.load(os.path.join(root, f"{distortion}.npy"))
+    labels = np.load(os.path.join(root, "labels.npy"))
+    lo, hi = (severity - 1) * 10000, severity * 10000
+    return ArrayDataset(data[lo:hi], labels[lo:hi])
+
+
+def load_cifar_p(root: str, perturbation: str) -> np.ndarray:
+    """CIFAR-P: <root>/<perturbation>.npy [N, T, 32, 32, 3] video tensors
+    (uncertainty_evaluations.py:784-799)."""
+    return np.load(os.path.join(root, f"{perturbation}.npy"))
+
+
+# ---------------------------------------------------------------------------
+# Triplet wrapper (stochastic finetune)
+# ---------------------------------------------------------------------------
+
+class TripletDataset:
+    """(img, pos_img, neg_img, label): pos is the same image (clean transform
+    applied later on device), neg a random image of a different class
+    (dist_datasets.py:31-44, 143-148)."""
+
+    def __init__(self, base, seed: int = 0):
+        self.base = base
+        self.labels = np.asarray(base.labels)
+        self.rng = random.Random(seed)
+        self._by_label = {}
+        for c in np.unique(self.labels):
+            self._by_label[int(c)] = np.where(self.labels != c)[0]
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, idx: int):
+        img, label = self.base[idx]
+        others = self._by_label[int(label)]
+        neg_idx = int(others[self.rng.randrange(len(others))])
+        neg_img, _ = self.base[neg_idx]
+        return img, img.copy(), neg_img, label

@@ -1,0 +1,123 @@
+"""Host input pipeline: sharded, shuffled, prefetching batch loader.
+
+Replaces DataLoader + DistributedSampler (run_cyclical.py:474-494): the
+dataset is sharded by host (SPMD single-controller — one process per host,
+devices fed via device_put of the host's shard), epochs reshuffle with
+`seed + epoch` like DistributedSampler.set_epoch, and a background thread
+pool prefetches+decodes batches while the device computes. Output batches
+are raw uint8 [B, H, W, C] + int labels; augmentation runs on device
+(ops/augment.py)."""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+class BatchLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        # per-host shard (DistributedSampler semantics: pad to equal shards)
+        if self.num_hosts > 1:
+            per_host = (n + self.num_hosts - 1) // self.num_hosts
+            padded = np.concatenate([idx, idx[: per_host * self.num_hosts - n]])
+            idx = padded[self.host_id :: self.num_hosts]
+        return idx
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _load_batch(self, batch_idx: np.ndarray):
+        items = [self.dataset[int(i)] for i in batch_idx]
+        cols = list(zip(*items))
+        out = []
+        for col in cols[:-1]:
+            out.append(np.stack(col))
+        out.append(np.asarray(cols[-1], np.int64))
+        return tuple(out)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, ...]]:
+        idx = self._indices()
+        nb = len(self)
+        batches = [idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)]
+
+        if self.num_workers <= 0:
+            for b in batches:
+                yield self._load_batch(b)
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                import concurrent.futures as cf
+
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    futures = []
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        futures.append(pool.submit(self._load_batch, b))
+                        # keep a bounded window of in-flight batches
+                        while len(futures) > self.prefetch:
+                            q.put(("ok", futures.pop(0).result()))
+                            if stop.is_set():
+                                return
+                    for f in futures:
+                        if stop.is_set():
+                            return
+                        q.put(("ok", f.result()))
+            except Exception as e:  # surface worker errors on the consumer
+                q.put(("err", e))
+            finally:
+                q.put(("done", None))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "ok":
+                    yield payload
+                elif kind == "err":
+                    raise payload
+                else:
+                    return
+        finally:
+            stop.set()
