@@ -1,0 +1,116 @@
+"""Discrete VAE image tokenizer (flax).
+
+Mirrors `DiscreteVAE` (modeling_discrete_vae.py:79-237): conv encoder of
+[stride-2 conv + ReLU + ResBlock] × num_layers + 1×1 head over the codebook
+vocab; mirror decoder with transposed convs. `get_codebook_indices` is the
+argmax over encoder logits (:133-138), which is all BEiT pretraining needs.
+
+The reference's `Dalle_VAE` (:203-237) loads OpenAI's pickled encoder/decoder;
+those weights are an external artifact — import them via
+utils/checkpoint.py's torch importer when available. Images are NHWC in
+[0, 1].
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class ResBlock(nn.Module):
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.out, (1, 1), dtype=self.dtype, name="conv3")(h)
+        return h + x
+
+
+class DiscreteVAE(nn.Module):
+    image_size: int = 256
+    num_tokens: int = 8192
+    codebook_dim: int = 512
+    num_layers: int = 3
+    hidden_dim: int = 64
+    channels: int = 3
+    temperature: float = 0.9
+    straight_through: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.codebook = nn.Embed(self.num_tokens, self.codebook_dim, name="codebook")
+        enc = []
+        dec = []
+        for i in range(self.num_layers):
+            enc.append(nn.Conv(self.hidden_dim, (4, 4), strides=2, padding=1,
+                               dtype=self.dtype, name=f"enc_conv_{i}"))
+            enc.append(ResBlock(self.hidden_dim, self.hidden_dim, self.dtype,
+                                name=f"enc_res_{i}"))
+            # 2× upsample; flax 'SAME' matches torch ConvTranspose2d(4, s=2,
+            # p=1) output shape (16 from 8)
+            dec.append(nn.ConvTranspose(self.hidden_dim, (4, 4), strides=(2, 2),
+                                        padding="SAME", dtype=self.dtype,
+                                        name=f"dec_conv_{i}"))
+            dec.append(ResBlock(self.hidden_dim, self.hidden_dim, self.dtype,
+                                name=f"dec_res_{i}"))
+        self.enc_head = nn.Conv(self.num_tokens, (1, 1), dtype=self.dtype, name="enc_head")
+        self.dec_head = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="dec_head")
+        self.enc_layers = enc
+        self.dec_layers = dec
+
+    def encode_logits(self, images: jnp.ndarray) -> jnp.ndarray:
+        """[B, H, W, C] → [B, H/8, W/8, vocab] logits."""
+        h = images.astype(self.dtype)
+        for i, layer in enumerate(self.enc_layers):
+            h = layer(h)
+            if i % 2 == 0:  # ReLU after the strided conv (modeling_discrete_vae.py:111)
+                h = nn.relu(h)
+        return self.enc_head(h)
+
+    def decode_codes(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """[B, h, w] int codes → [B, H, W, C] reconstruction."""
+        h = self.codebook(codes).astype(self.dtype)
+        for i, layer in enumerate(self.dec_layers):
+            h = layer(h)
+            if i % 2 == 0:
+                h = nn.relu(h)
+        return self.dec_head(h)
+
+    def get_codebook_indices(self, images: jnp.ndarray) -> jnp.ndarray:
+        """argmax over encoder logits (modeling_discrete_vae.py:133-138) →
+        [B, h·w] int32 token ids."""
+        logits = self.encode_logits(images)
+        idx = jnp.argmax(logits, axis=-1)
+        return idx.reshape(idx.shape[0], -1).astype(jnp.int32)
+
+    def __call__(
+        self, images: jnp.ndarray, temperature: float | None = None,
+        rng: jax.Array | None = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Training forward: gumbel-soft codebook sample → decode; returns
+        (recon, logits) for an MSE/perceptual recon loss."""
+        logits = self.encode_logits(images)
+        tau = self.temperature if temperature is None else temperature
+        if rng is not None:
+            g = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
+            soft = jax.nn.softmax((logits.astype(jnp.float32) + g) / tau, axis=-1)
+        else:
+            soft = jax.nn.softmax(logits.astype(jnp.float32) / tau, axis=-1)
+        h = jnp.einsum("bhwv,vd->bhwd", soft.astype(self.dtype),
+                       self.codebook.embedding.astype(self.dtype))
+        for i, layer in enumerate(self.dec_layers):
+            h = layer(h)
+            if i % 2 == 0:
+                h = nn.relu(h)
+        return self.dec_head(h), logits

@@ -133,11 +133,24 @@ def wasserstein_pretrain_loss(
     pos_mean: jnp.ndarray,
     pos_cov: jnp.ndarray,
     lambda_pretraining: float = 1e-5,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """WassersteinLoss (distloss.py:7-30): sigmoid-squash, W2 distance,
-    -log σ(-d) normalized by its max, summed × λ."""
+    -log σ(-d) normalized by its max, summed × λ.
+
+    `mask` (flattened rows, {0,1}) reproduces the reference's masked-token
+    gather with static shapes: the max normalizations and the sum range only
+    over masked rows.
+    """
     s = jax.nn.sigmoid
     d = wasserstein_distance(s(mean_out), s(cov_out), s(pos_mean), s(pos_cov))
+    d = d.reshape(-1)
+    if mask is not None:
+        m = mask.reshape(-1).astype(d.dtype)
+        d = d / jnp.maximum(jnp.max(jnp.abs(d) * m), 1e-24)
+        loss = -jnp.log(jax.nn.sigmoid(-d + 1e-24))
+        loss = loss / jnp.maximum(jnp.max(jnp.abs(loss) * m), 1e-24)
+        return jnp.sum(loss * m) * lambda_pretraining
     d = d / jnp.max(jnp.abs(d))
     loss = -jnp.log(jax.nn.sigmoid(-d + 1e-24))
     loss = loss / jnp.max(jnp.abs(loss))

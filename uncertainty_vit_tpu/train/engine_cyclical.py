@@ -137,23 +137,42 @@ def make_cyclical_train_step(
 
         # Teacher forward on EMA params: all tokens, all layers, no grad
         # (engine_for_cyclical.py:68-88).
-        layer_outputs = model.apply(
+        teacher_out = model.apply(
             {"params": state.ema_params},
             images,
             None,
             layer_results=hp.layer_results,
             deterministic=True,
         )
-        targets = jax.lax.stop_gradient(build_targets(layer_outputs, hp))
+        if hp.stochastic:
+            mean_layers, cov_layers = teacher_out
+            targets = jax.lax.stop_gradient(build_targets(mean_layers, hp))
+            # cov targets get only the layer-norm stages of the pipeline
+            # (engine_for_cyclical.py:73-86).
+            cov_hp = dataclasses.replace(
+                hp, target_batch_norm=False, target_instance_norm=False,
+                post_target_instance_norm=False,
+            )
+            cov_targets = jax.lax.stop_gradient(build_targets(cov_layers, cov_hp))
+        else:
+            targets = jax.lax.stop_gradient(build_targets(teacher_out, hp))
+            cov_targets = None
 
         def loss_fn(params):
-            outputs = model.apply(
+            student_out = model.apply(
                 {"params": params},
                 images,
                 mask,
                 deterministic=False,
                 rngs={"dropout": r_drop, "droppath": r_path},
-            ).astype(jnp.float32)
+            )
+            if hp.stochastic:
+                outputs, cov_outputs = student_out
+                outputs = outputs.astype(jnp.float32)
+                cov_outputs = cov_outputs.astype(jnp.float32)
+            else:
+                outputs = student_out.astype(jnp.float32)
+                cov_outputs = None
             loss_cyc = L.masked_regression_loss(
                 outputs, targets, mask, beta=hp.l1_beta, l2=hp.l2_loss
             )
@@ -163,6 +182,15 @@ def make_cyclical_train_step(
                 else jnp.zeros((), jnp.float32)
             )
             loss = loss_cyc + std_loss0 * hp.var_w0
+            if hp.stochastic:
+                loss = loss + L.wasserstein_pretrain_loss(
+                    outputs.reshape(-1, outputs.shape[-1]),
+                    cov_outputs.reshape(-1, cov_outputs.shape[-1]),
+                    targets.reshape(-1, targets.shape[-1]),
+                    cov_targets.reshape(-1, cov_targets.shape[-1]),
+                    hp.lambda_pretraining,
+                    mask=mask,
+                )
             if hp.loss_scale != -1:
                 loss = loss * hp.loss_scale
             return loss, (loss_cyc, std_loss0)
