@@ -1,0 +1,119 @@
+"""Integration tests driving the CLI mains on a synthetic CIFAR fixture —
+the analogue of the reference's run_class_finetuning_test.py manual test
+(SURVEY.md §4), but automated and on the 8-device CPU mesh."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from uncertainty_vit_tpu.cli import finetune as FT
+from uncertainty_vit_tpu.cli import pretrain_beit as PB
+from uncertainty_vit_tpu.cli import pretrain_cyclical as PC
+from uncertainty_vit_tpu.cli import pretrain_joint as PJ
+
+
+@pytest.fixture(scope="module")
+def cifar_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cifar")
+    base = root / "cifar-100-python"
+    base.mkdir()
+    rs = np.random.RandomState(0)
+    for name, n in (("train", 128), ("test", 64)):
+        data = rs.randint(0, 255, (n, 3072), dtype=np.uint8)
+        labels = (np.arange(n) % 10).tolist()  # 10 classes present
+        with open(base / name, "wb") as f:
+            pickle.dump({b"data": data, b"fine_labels": labels}, f)
+    return str(root)
+
+
+def common_flags(cifar_root, out, extra=()):
+    return [
+        "--model", "beit_test_patch16_32", "--input_size", "32",
+        "--data_set", "CIFAR100", "--data_path", cifar_root,
+        "--batch_size", "16", "--epochs", "1", "--num_workers", "0",
+        "--output_dir", out, "--save_ckpt_freq", "1",
+        "--warmup_epochs", "0", "--dtype", "float32",
+        *extra,
+    ]
+
+
+def test_cli_pretrain_cyclical(cifar_root, tmp_path):
+    out = str(tmp_path / "cyc")
+    args = PC.get_args_parser().parse_args(common_flags(cifar_root, out, (
+        "--num_mask_patches", "2", "--min_mask_patches_per_block", "1",
+        "--target_layers", "[0,1]", "--steps_per_epoch", "4",
+    )))
+    state = PC.main(args)
+    assert int(state.step) == 4
+    assert os.path.isdir(os.path.join(out, "checkpoint-0"))
+    log = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert log and np.isfinite(log[0]["train_loss"])
+
+
+def test_cli_finetune_train_and_best_ckpt(cifar_root, tmp_path):
+    out = str(tmp_path / "ft")
+    args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, (
+        "--steps_per_epoch", "4", "--mixup", "0.0", "--cutmix", "0.0",
+        "--reprob", "0.0",
+    )))
+    state = FT.main(args)
+    assert int(state.step) == 4
+    assert os.path.isdir(os.path.join(out, "checkpoint-best"))
+    log = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert "test_acc1" in log[0] and "test_ece" in log[0]
+
+
+def test_cli_finetune_eval_only(cifar_root, tmp_path):
+    out = str(tmp_path / "ev")
+    args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, ("--eval",)))
+    results = FT.main(args)
+    assert "eval" in results
+    assert 0.0 <= results["eval"]["acc1"] <= 100.0
+    assert np.isfinite(results["eval"]["nll"])
+
+
+def test_cli_finetune_eval_mc_dropout(cifar_root, tmp_path):
+    out = str(tmp_path / "mc")
+    args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, (
+        "--eval", "--mc_dropout", "--mc_dropout_forwards", "3", "--drop", "0.1",
+        "--drop_path", "0.0",
+    )))
+    results = FT.main(args)
+    assert "mc_dropout" in results and np.isfinite(results["mc_dropout"]["nll"])
+
+
+def test_cli_pretrain_beit(cifar_root, tmp_path):
+    out = str(tmp_path / "beit")
+    args = PB.get_args_parser().parse_args(common_flags(cifar_root, out, (
+        "--num_mask_patches", "2", "--min_mask_patches_per_block", "1",
+        "--vocab_size", "64", "--second_input_size", "8",
+        "--dvae_num_layers", "2", "--dvae_hidden_dim", "8",
+        "--steps_per_epoch", "2",
+    )))
+    state = PB.main(args)
+    assert int(state.step) == 2
+
+
+def test_cli_pretrain_joint(cifar_root, tmp_path):
+    out = str(tmp_path / "joint")
+    args = PJ.get_args_parser().parse_args(common_flags(cifar_root, out, (
+        "--num_mask_patches", "2", "--min_mask_patches_per_block", "1",
+        "--vocab_size", "64", "--second_input_size", "8",
+        "--dvae_num_layers", "2", "--dvae_hidden_dim", "8",
+        "--target_layers", "[0,1]", "--steps_per_epoch", "2",
+    )))
+    state = PJ.main(args)
+    assert int(state.step) == 2
+
+
+def test_cli_finetune_stochastic(cifar_root, tmp_path):
+    out = str(tmp_path / "dist")
+    args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, (
+        "--stochastic", "--steps_per_epoch", "2", "--mixup", "0.0",
+        "--cutmix", "0.0", "--layer_scale_init_value", "0.1",
+    )))
+    state = FT.main(args)
+    assert int(state.step) == 2

@@ -1,0 +1,211 @@
+"""Shared CLI plumbing: argparse groups, model/optimizer/loader builders.
+
+Normalizes the reference's ~80-flag-per-driver argparse sprawl
+(run_cyclical.py:36-284, run_class_finetuning.py:49-259) into shared groups;
+flag names match the reference where they exist so recipes translate
+flag-for-flag.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from uncertainty_vit_tpu.core.config import PRESETS, ViTConfig, get_preset
+from uncertainty_vit_tpu.data.pipeline import BatchLoader
+from uncertainty_vit_tpu.data.registry import build_dataset
+from uncertainty_vit_tpu.train import schedules
+from uncertainty_vit_tpu.train.optim import make_optimizer
+
+
+def add_model_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("model")
+    g.add_argument("--model", default="beit_base_patch16_224", choices=sorted(PRESETS))
+    g.add_argument("--input_size", default=224, type=int)
+    g.add_argument("--drop", type=float, default=0.0)
+    g.add_argument("--attn_drop_rate", type=float, default=0.0)
+    g.add_argument("--drop_path", type=float, default=0.1)
+    g.add_argument("--layer_scale_init_value", default=0.1, type=float)
+    g.add_argument("--rel_pos_bias", action="store_true", default=False)
+    g.add_argument("--shared_rel_pos_bias", action="store_true", default=True)
+    g.add_argument("--abs_pos_emb", action="store_true", default=True)
+    g.add_argument("--sinkformer", action="store_true")
+    g.add_argument("--gumbel_softmax", action="store_true")
+    g.add_argument("--h_sto_trans", action="store_true")
+    g.add_argument("--sngp", action="store_true")
+    g.add_argument("--gp_layer", action="store_true")
+    g.add_argument("--het_layer", action="store_true")
+    g.add_argument("--stochastic", action="store_true",
+                   help="use the dist (mean+covariance) model family")
+    g.add_argument("--learn_layer_weights", action="store_true")
+    g.add_argument("--layernorm_before_combine", action="store_true")
+    g.add_argument("--linear_classifier", action="store_true")
+    g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    return g
+
+
+def add_opt_args(p: argparse.ArgumentParser, lr: float = 2e-3):
+    g = p.add_argument_group("optimization")
+    g.add_argument("--opt", default="adamw")
+    g.add_argument("--lr", type=float, default=lr)
+    g.add_argument("--min_lr", type=float, default=1e-5)
+    g.add_argument("--warmup_lr", type=float, default=0.0)
+    g.add_argument("--warmup_epochs", type=int, default=5)
+    g.add_argument("--warmup_steps", type=int, default=-1)
+    g.add_argument("--weight_decay", type=float, default=0.05)
+    g.add_argument("--weight_decay_end", type=float, default=None)
+    g.add_argument("--clip_grad", type=float, default=None)
+    g.add_argument("--layer_decay", type=float, default=1.0)
+    g.add_argument("--opt_betas", type=float, nargs=2, default=(0.9, 0.999))
+    g.add_argument("--opt_eps", type=float, default=1e-8)
+    g.add_argument("--momentum", type=float, default=0.9)
+    g.add_argument("--update_freq", type=int, default=1)
+    g.add_argument("--tri_phase_schedule", type=str, default=None,
+                   help="'(warmup_perc, decay_perc)' literal, e.g. '(0.05,0.15)'")
+    return g
+
+
+def add_data_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("data")
+    g.add_argument("--data_path", default="/datasets/imagenet", type=str)
+    g.add_argument("--data_set", default="IMNET", type=str)
+    g.add_argument("--batch_size", type=int, default=64)
+    g.add_argument("--epochs", type=int, default=100)
+    g.add_argument("--num_workers", type=int, default=8)
+    g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--imagenet_default_mean_and_std", default=True, type=ast.literal_eval)
+    g.add_argument("--color_jitter", type=float, default=0.4)
+    g.add_argument("--aug_level", type=int, default=-1)
+    g.add_argument("--reprob", type=float, default=0.25)
+    g.add_argument("--crop_pct", type=float, default=None)
+    g.add_argument("--decode_size", type=int, default=None,
+                   help="host decode canvas size (defaults to input_size*8/7)")
+    g.add_argument("--semi_supervised_ratio", type=float, default=0.0)
+    g.add_argument("--data_set_filter_file", type=str, default=None)
+    return g
+
+
+def add_mask_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("masking")
+    g.add_argument("--num_mask_patches", type=int, default=120)
+    g.add_argument("--min_mask_patches_per_block", type=int, default=16)
+    g.add_argument("--max_mask_patches_per_block", type=int, default=None)
+    g.add_argument("--mask_dropout_prob", type=float, default=-1.0)
+    return g
+
+
+def add_io_args(p: argparse.ArgumentParser):
+    g = p.add_argument_group("io")
+    g.add_argument("--output_dir", default="./output", type=str)
+    g.add_argument("--log_dir", default=None, type=str)
+    g.add_argument("--save_ckpt_freq", type=int, default=20)
+    g.add_argument("--auto_resume", default=True, type=ast.literal_eval)
+    g.add_argument("--resume", default="", type=str)
+    g.add_argument("--finetune", default="", type=str,
+                   help="torch .pth or orbax checkpoint to initialize from")
+    g.add_argument("--steps_per_epoch", type=int, default=None,
+                   help="override for smoke runs")
+    return g
+
+
+def model_config_from_args(args, num_classes: int) -> ViTConfig:
+    head_type = "linear"
+    if args.het_layer:
+        head_type = "het"
+    elif args.gp_layer or args.sngp:
+        # the reference's intended (bugged-out) SNGP head; see ViTConfig
+        head_type = "sngp"
+    variant = "softmax"
+    if args.sinkformer:
+        variant = "sinkformer"
+    elif args.gumbel_softmax:
+        variant = "gumbel"
+    elif args.h_sto_trans:
+        variant = "dual_sto"
+    return get_preset(
+        args.model,
+        img_size=args.input_size,
+        num_classes=num_classes,
+        drop_rate=args.drop,
+        attn_drop_rate=args.attn_drop_rate,
+        drop_path_rate=args.drop_path,
+        init_values=args.layer_scale_init_value or None,
+        use_abs_pos_emb=args.abs_pos_emb and not args.rel_pos_bias,
+        use_rel_pos_bias=args.rel_pos_bias,
+        use_shared_rel_pos_bias=args.shared_rel_pos_bias and not args.rel_pos_bias,
+        attn_variant=variant,
+        head_type=head_type,
+        sngp_fc_norm=args.sngp,
+        learn_layer_weights=args.learn_layer_weights,
+        layernorm_before_combine=args.layernorm_before_combine,
+        linear_classifier=args.linear_classifier,
+    )
+
+
+def build_lr_schedules(args, steps_per_epoch: int):
+    total = args.epochs * steps_per_epoch
+    warmup = args.warmup_steps if args.warmup_steps > 0 else args.warmup_epochs * steps_per_epoch
+    if args.tri_phase_schedule:
+        w, d = ast.literal_eval(args.tri_phase_schedule)
+        lr = schedules.tri_phase_schedule(args.lr, args.min_lr, total, w, d,
+                                          start_warmup_value=args.warmup_lr)
+    else:
+        lr = schedules.cosine_schedule(args.lr, args.min_lr, total, warmup,
+                                       start_warmup_value=args.warmup_lr)
+    wd_end = args.weight_decay_end
+    wd = None
+    if wd_end is not None and wd_end != args.weight_decay:
+        wd = schedules.cosine_schedule(args.weight_decay, wd_end, total, 0)
+    return lr, wd, total
+
+
+def build_optimizer(args, params, lr_schedule, wd_schedule, depth: int):
+    return make_optimizer(
+        params, lr_schedule,
+        weight_decay=args.weight_decay,
+        wd_schedule=wd_schedule,
+        clip_grad=args.clip_grad,
+        betas=tuple(args.opt_betas),
+        eps=args.opt_eps,
+        layer_decay=args.layer_decay if args.layer_decay < 1.0 else None,
+        depth=depth,
+        opt_name=args.opt,
+        momentum=args.momentum,
+        accum_steps=args.update_freq,
+    )
+
+
+def build_loaders(args, is_train: bool, triplet: bool = False) -> Tuple[BatchLoader, int]:
+    decode = args.decode_size or (args.input_size * 8 // 7 if args.input_size > 64 else None)
+    dataset, nb_classes = build_dataset(
+        is_train, args.data_set, args.data_path,
+        semi_supervised_ratio=getattr(args, "semi_supervised_ratio", 0.0) if is_train else 0.0,
+        triplet=triplet,
+        decode_size=decode,
+        data_set_filter_file=getattr(args, "data_set_filter_file", None) if is_train else None,
+        seed=args.seed,
+    )
+    loader = BatchLoader(
+        dataset, args.batch_size, shuffle=is_train, seed=args.seed,
+        drop_last=is_train, num_workers=args.num_workers,
+        host_id=jax.process_index(), num_hosts=jax.process_count(),
+    )
+    return loader, nb_classes
+
+
+def compute_dtype(args):
+    return jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+
+def check_finite_or_die(loss_value: float, step) -> None:
+    """NaN/Inf abort (engine_for_cyclical.py:166-168)."""
+    import math
+    import sys
+
+    if not math.isfinite(loss_value):
+        print(f"Loss is {loss_value} at step {step}, stopping training", flush=True)
+        sys.exit(1)

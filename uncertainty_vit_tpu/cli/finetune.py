@@ -1,0 +1,345 @@
+"""Supervised finetune / evaluation driver — replaces run_class_finetuning.py.
+
+Recipe (README.md:33-39): 100 epochs, batch 8×128, lr 4e-3, layer_decay
+0.65, mixup 0.8 / cutmix 1.0, weight decay 0.05.
+
+Eval dispatch (run_class_finetuning.py:638-677): --eval runs plain
+evaluation; add --mc_dropout / --ensembles / --corrupted_data /
+--perturbed_data (combinable with --stochastic) for the uncertainty and
+robustness benchmarks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncertainty_vit_tpu.cli import builders as B
+from uncertainty_vit_tpu.cli.common import setup_jax
+from uncertainty_vit_tpu.data import datasets as D
+from uncertainty_vit_tpu.evals import classification as E
+from uncertainty_vit_tpu.evals import robustness as R
+from uncertainty_vit_tpu.evals.ensembles import stack_params
+from uncertainty_vit_tpu.models.dist_vit import DistVisionTransformer
+from uncertainty_vit_tpu.models.vit import VisionTransformer
+from uncertainty_vit_tpu.ops.augment import eval_transform_batch, finetune_train_augment_batch
+from uncertainty_vit_tpu.train.engine_finetune import (
+    FinetuneHParams, init_finetune_state, make_finetune_train_step,
+)
+from uncertainty_vit_tpu.train.engine_finetune_dist import (
+    DistFinetuneHParams, init_dist_finetune_state, make_dist_finetune_train_step,
+)
+from uncertainty_vit_tpu.utils import checkpoint as C
+from uncertainty_vit_tpu.utils.logging import JsonlLogger, MetricLogger, TensorboardLogger
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("finetuning / evaluation", add_help=True)
+    B.add_model_args(p)
+    B.add_opt_args(p, lr=4e-3)
+    B.add_data_args(p)
+    B.add_io_args(p)
+    g = p.add_argument_group("finetune")
+    g.add_argument("--nb_classes", type=int, default=0, help="0 = infer from dataset")
+    g.add_argument("--mixup", type=float, default=0.8)
+    g.add_argument("--cutmix", type=float, default=1.0)
+    g.add_argument("--mixup_prob", type=float, default=1.0)
+    g.add_argument("--mixup_switch_prob", type=float, default=0.5)
+    g.add_argument("--smoothing", type=float, default=0.1)
+    g.add_argument("--model_ema", action="store_true")
+    g.add_argument("--model_ema_decay", type=float, default=0.9999)
+    g.add_argument("--masked_position_prob", type=float, default=0.0)
+    g.add_argument("--lambda_finetuning", type=float, default=1e-4)
+    g.add_argument("--lambda_pvn", type=float, default=1e-4)
+    e = p.add_argument_group("evaluation")
+    e.add_argument("--eval", action="store_true")
+    e.add_argument("--mc_dropout", action="store_true")
+    e.add_argument("--mc_dropout_forwards", type=int, default=8)
+    e.add_argument("--ensembles", action="store_true")
+    e.add_argument("--ensemble_checkpoints", type=str, nargs="*", default=[])
+    e.add_argument("--corrupted_data", action="store_true")
+    e.add_argument("--perturbed_data", action="store_true")
+    e.add_argument("--corruption_data_path", type=str, default=None)
+    e.add_argument("--perturbation_data_path", type=str, default=None)
+    return p
+
+
+def build_model(args, nb_classes):
+    cfg = B.model_config_from_args(args, nb_classes)
+    dtype = B.compute_dtype(args)
+    if args.stochastic:
+        return DistVisionTransformer(cfg=cfg, dtype=dtype), cfg
+    return VisionTransformer(cfg=cfg, dtype=dtype), cfg
+
+
+def _eval_batches(loader, args):
+    """Yield (normalized images, labels) with the on-device eval transform."""
+    crop_pct = args.crop_pct or (224 / 256 if args.input_size < 384 else 1.0)
+    for batch in loader:
+        images_u8, labels = batch[0], batch[-1]
+        if images_u8.shape[1] != args.input_size:
+            images = eval_transform_batch(
+                jnp.asarray(images_u8), args.input_size, crop_pct,
+                args.imagenet_default_mean_and_std,
+            )
+        else:
+            from uncertainty_vit_tpu.ops.augment import (
+                IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD,
+                IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD, normalize, to_float,
+            )
+            mean = (IMAGENET_DEFAULT_MEAN if args.imagenet_default_mean_and_std
+                    else IMAGENET_INCEPTION_MEAN)
+            std = (IMAGENET_DEFAULT_STD if args.imagenet_default_mean_and_std
+                   else IMAGENET_INCEPTION_STD)
+            images = normalize(to_float(jnp.asarray(images_u8)), mean, std)
+        yield images, labels
+
+
+def load_variables(args, model, sample):
+    rngs = {"params": jax.random.PRNGKey(args.seed)}
+    if args.het_layer:
+        rngs["mc"] = jax.random.PRNGKey(args.seed + 1)
+    variables = model.init(rngs, sample)
+    if args.finetune:
+        if args.finetune.endswith((".pth", ".pt")):
+            sd = C.load_torch_state_dict(args.finetune)
+            params, missing, unused = C.import_torch_params(sd, variables["params"])
+            print(f"imported {args.finetune}: {len(missing)} missing, {len(unused)} unused",
+                  flush=True)
+            variables = dict(variables, params=params)
+        else:
+            restored = C.restore_checkpoint(args.finetune, None)
+            src = restored.get("params", restored) if isinstance(restored, dict) else restored
+            variables = dict(variables, params=src)
+    return variables
+
+
+def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
+    """--eval dispatch (run_class_finetuning.py:638-677)."""
+    results = {}
+    batches = lambda: _eval_batches(val_loader, args)
+
+    if args.corrupted_data:
+        if args.stochastic:
+            fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
+        elif args.mc_dropout:
+            from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
+            mc = make_mc_dropout_mean_forward(model, args.mc_dropout_forwards)
+            fwd = lambda imgs: mc(variables, imgs, jax.random.PRNGKey(0))
+        else:
+            fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
+
+        croot = args.corruption_data_path or args.data_path
+
+        def loader_factory(name):
+            if args.data_set.startswith("CIFAR"):
+                severities = range(1, 6)
+                for s in severities:
+                    ds = D.load_cifar_c(croot, name, s)
+                    for i in range(0, len(ds), args.batch_size):
+                        imgs = ds.images[i : i + args.batch_size]
+                        lbls = ds.labels[i : i + args.batch_size]
+                        imgs = eval_transform_batch(jnp.asarray(imgs), args.input_size)
+                        yield imgs, lbls
+            else:  # TinyImageNet-C layout
+                for s in range(1, 6):
+                    ds = D.TinyImageNetC(croot, name, s, decode_size=args.input_size)
+                    from uncertainty_vit_tpu.data.pipeline import BatchLoader
+                    for batch in BatchLoader(ds, args.batch_size, shuffle=False,
+                                             num_workers=args.num_workers, drop_last=False):
+                        yield from _eval_batches([batch], args)
+
+        results["corruption"] = R.evaluate_corruption(fwd, loader_factory)
+        print(json.dumps(results["corruption"], indent=2), flush=True)
+        return results
+
+    if args.perturbed_data:
+        proot = args.perturbation_data_path or args.data_path
+        if args.stochastic:
+            fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
+        else:
+            fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
+
+        def video_loader(name):
+            vids = D.load_cifar_p(proot, name)
+            per = max(args.batch_size // max(vids.shape[1], 1), 1)
+            for i in range(0, len(vids), per):
+                yield vids[i : i + per]
+
+        results["perturbation"] = R.evaluate_perturbation(
+            fwd, video_loader, nb_classes, frame_size=args.input_size
+        )
+        print(json.dumps(results["perturbation"], indent=2), flush=True)
+        return results
+
+    if args.mc_dropout:
+        results["mc_dropout"] = E.evaluate_mc_dropout(
+            model, variables, batches(), num_samples=args.mc_dropout_forwards
+        )
+    elif args.ensembles:
+        members = []
+        for path in args.ensemble_checkpoints:
+            if path.endswith((".pth", ".pt")):
+                sd = C.load_torch_state_dict(path)
+                p, _, _ = C.import_torch_params(sd, variables["params"])
+            else:
+                p = C.restore_checkpoint(path, variables["params"])
+            members.append({"params": p})
+        results["ensembles"] = E.evaluate_ensemble(
+            model, stack_params(members), batches()
+        )
+    elif args.stochastic:
+        fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
+        logits_all, labels_all = [], []
+        for images, labels in batches():
+            logits_all.append(np.asarray(fwd(images), np.float32))
+            labels_all.append(np.asarray(labels))
+        from uncertainty_vit_tpu.evals import metrics as M
+        out = M.classification_metrics(
+            jnp.asarray(np.concatenate(logits_all)), jnp.asarray(np.concatenate(labels_all))
+        )
+        results["dist_eval"] = {k: float(v) for k, v in out.items()}
+    else:
+        results["eval"] = E.evaluate(model, variables, batches())
+    print(json.dumps(results, indent=2, default=float), flush=True)
+    return results
+
+
+def main(args):
+    setup_jax()
+    print(f"devices: {jax.devices()}", flush=True)
+    triplet = args.stochastic and not args.eval
+
+    val_loader, nb_classes = B.build_loaders(args, is_train=False)
+    nb_classes = args.nb_classes or nb_classes
+    model, cfg = build_model(args, nb_classes)
+    sample = jnp.zeros((args.batch_size, args.input_size, args.input_size, 3))
+
+    if args.eval:
+        variables = load_variables(args, model, sample)
+        return run_eval_dispatch(args, model, variables, val_loader, nb_classes)
+
+    train_loader, _ = B.build_loaders(args, is_train=True, triplet=triplet)
+    steps_per_epoch = args.steps_per_epoch or len(train_loader)
+    lr_schedule, wd_schedule, total = B.build_lr_schedules(args, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(args.seed)
+    variables = load_variables(args, model, sample)
+    params = variables["params"]
+    tx = B.build_optimizer(args, params, lr_schedule, wd_schedule, cfg.depth)
+
+    mixup_active = args.mixup > 0 or args.cutmix > 0
+    if args.stochastic:
+        hp = DistFinetuneHParams(
+            num_classes=nb_classes, mixup_active=mixup_active,
+            mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+            mixup_prob=args.mixup_prob, mixup_switch_prob=args.mixup_switch_prob,
+            label_smoothing=args.smoothing,
+            lambda_finetuning=args.lambda_finetuning, lambda_pvn=args.lambda_pvn,
+        )
+        state = init_dist_finetune_state(model, tx, rng, sample)
+        state = state.replace(params=params, opt_state=tx.init(params))
+        train_step = make_dist_finetune_train_step(model, tx, hp, lr_schedule)
+    else:
+        hp = FinetuneHParams(
+            num_classes=nb_classes, mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
+            mixup_prob=args.mixup_prob, mixup_switch_prob=args.mixup_switch_prob,
+            label_smoothing=args.smoothing, mixup_active=mixup_active,
+            masked_position_prob=args.masked_position_prob,
+            num_patches=cfg.num_patches, model_ema_decay=args.model_ema_decay,
+            head_type=cfg.head_type,
+        )
+        state = init_finetune_state(
+            model, tx, rng, sample, use_model_ema=args.model_ema,
+            head_type=cfg.head_type,
+        )
+        state = state.replace(params=params, opt_state=tx.init(params))
+        train_step = make_finetune_train_step(model, tx, hp, lr_schedule)
+
+    start_epoch = 0
+    if args.auto_resume and not args.resume:
+        state, start_epoch = C.auto_load(args.output_dir, state)
+    elif args.resume:
+        state = C.restore_checkpoint(args.resume, state)
+
+    tb = TensorboardLogger(args.log_dir or args.output_dir)
+    jsonl = JsonlLogger(args.output_dir)
+    best_acc = -1.0
+
+    for epoch in range(start_epoch, args.epochs):
+        train_loader.set_epoch(epoch)
+        logger = MetricLogger()
+        data_rng = jax.random.fold_in(rng, epoch)
+        for step, batch in enumerate(logger.log_every(train_loader, 10, f"Epoch: [{epoch}]")):
+            if step >= steps_per_epoch:
+                break
+            akey = jax.random.fold_in(data_rng, step)
+            if triplet:
+                img_u8, pos_u8, neg_u8, labels = batch
+                img = finetune_train_augment_batch(
+                    akey, jnp.asarray(img_u8), args.input_size,
+                    args.color_jitter, args.reprob, args.imagenet_default_mean_and_std,
+                )
+                pos = next(_eval_batches([(pos_u8, labels)], args))[0]
+                neg = next(_eval_batches([(neg_u8, labels)], args))[0]
+                state, metrics = train_step(state, img, pos, neg, jnp.asarray(labels), rng)
+            else:
+                images_u8, labels = batch[0], batch[-1]
+                images = finetune_train_augment_batch(
+                    akey, jnp.asarray(images_u8), args.input_size,
+                    args.color_jitter, args.reprob, args.imagenet_default_mean_and_std,
+                )
+                state, metrics = train_step(state, images, jnp.asarray(labels), rng)
+            loss = float(metrics["loss"])
+            B.check_finite_or_die(loss, int(state.step))
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+            tb.update(head="loss", loss=loss)
+            tb.set_step()
+
+        # per-epoch eval (run_class_finetuning.py:714-731)
+        eval_vars = {"params": state.params}
+        for col in ("sngp_state", "sngp_frozen", "spectral_stats"):
+            v = getattr(state, col, None)
+            if v is not None:
+                eval_vars[col] = v
+        if args.stochastic:
+            fwd = jax.jit(lambda imgs: model.apply(eval_vars, imgs, deterministic=True)[2])
+            logits_all, labels_all = [], []
+            for images, labels in _eval_batches(val_loader, args):
+                logits_all.append(np.asarray(fwd(images), np.float32))
+                labels_all.append(np.asarray(labels))
+            from uncertainty_vit_tpu.evals import metrics as M
+            test = {k: float(v) for k, v in M.classification_metrics(
+                jnp.asarray(np.concatenate(logits_all)),
+                jnp.asarray(np.concatenate(labels_all))).items()}
+        else:
+            test = E.evaluate(model, eval_vars, _eval_batches(val_loader, args))
+        print(f"epoch {epoch}: " + ", ".join(f"{k}={v:.4f}" for k, v in sorted(test.items())),
+              flush=True)
+        if test["acc1"] > best_acc:
+            best_acc = test["acc1"]
+            if args.output_dir:
+                C.save_checkpoint(args.output_dir, "best", state)
+        jsonl.write({
+            "epoch": epoch,
+            **{f"train_{k}": v for k, v in logger.epoch_summary().items()},
+            **{f"test_{k}": v for k, v in test.items()},
+            "best_acc1": best_acc,
+        })
+        if args.output_dir and (
+            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
+        ):
+            C.save_checkpoint(args.output_dir, epoch, state)
+        tb.flush()
+    print(f"done. best acc1 {best_acc:.3f}", flush=True)
+    return state
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

@@ -1,0 +1,129 @@
+"""BEiT masked-image-modeling pretraining driver — replaces
+run_beit_pretraining.py. The dVAE tokenizer runs in-step on the second
+same-crop view (engine_for_pretraining.py:50-57)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncertainty_vit_tpu.cli import builders as B
+from uncertainty_vit_tpu.cli.common import setup_jax
+from uncertainty_vit_tpu.models.dvae import DiscreteVAE
+from uncertainty_vit_tpu.models.mim import MIMViT
+from uncertainty_vit_tpu.ops.augment import (
+    IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD, IMAGENET_INCEPTION_MEAN,
+    IMAGENET_INCEPTION_STD, from_planar, normalize, random_hflip_batch,
+    random_resized_crop_two_pic, to_planar,
+)
+from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask
+from uncertainty_vit_tpu.train.engine_mim import MIMState, make_mim_train_step
+from uncertainty_vit_tpu.utils import checkpoint as C
+from uncertainty_vit_tpu.utils.logging import JsonlLogger, MetricLogger
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("BEiT MIM pretraining", add_help=True)
+    B.add_model_args(p)
+    B.add_opt_args(p, lr=1.5e-3)
+    B.add_data_args(p)
+    B.add_mask_args(p)
+    B.add_io_args(p)
+    g = p.add_argument_group("beit")
+    g.add_argument("--vocab_size", type=int, default=8192)
+    g.add_argument("--second_input_size", type=int, default=112)
+    g.add_argument("--discrete_vae_weight_path", type=str, default="")
+    g.add_argument("--dvae_num_layers", type=int, default=3)
+    g.add_argument("--dvae_hidden_dim", type=int, default=64)
+    return p
+
+
+def two_view_batch(key, images_u8, out_size, second_size, mean, std):
+    """ColorJitter-free two-pic path: hflip + same-crop two-size RRC
+    (datasets.py:70-77 uses jitter too; jitter is applied on the first view
+    only in finetune_train_augment semantics — kept simple here)."""
+    imgs = jnp.asarray(images_u8).astype(jnp.float32) / 255.0
+    kf, kc = jax.random.split(key)
+    b = imgs.shape[0]
+    flips = jax.random.bernoulli(kf, 0.5, (b, 1, 1, 1))
+    imgs = jnp.where(flips, imgs[:, :, ::-1, :], imgs)
+    keys = jax.random.split(kc, b)
+    pairs = [
+        random_resized_crop_two_pic(k, im, out_size, second_size)
+        for k, im in zip(keys, imgs)
+    ]
+    first = jnp.stack([a for a, _ in pairs])
+    second = jnp.stack([b_ for _, b_ in pairs])
+    return normalize(first, mean, std), second
+
+
+def main(args):
+    setup_jax()
+    loader, _ = B.build_loaders(args, is_train=True)
+    steps_per_epoch = args.steps_per_epoch or len(loader)
+    cfg = B.model_config_from_args(args, num_classes=0).replace(head_type="none")
+    dtype = B.compute_dtype(args)
+    model = MIMViT(cfg=cfg, vocab_size=args.vocab_size, dtype=dtype)
+    dvae = DiscreteVAE(
+        image_size=args.second_input_size, num_tokens=args.vocab_size,
+        num_layers=args.dvae_num_layers, hidden_dim=args.dvae_hidden_dim,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((args.batch_size, args.input_size, args.input_size, 3))
+    sample_second = jnp.zeros(
+        (args.batch_size, args.second_input_size, args.second_input_size, 3)
+    )
+    sample_mask = jnp.zeros((args.batch_size, cfg.num_patches))
+    dvae_vars = dvae.init(jax.random.fold_in(rng, 1), sample_second)
+    if args.discrete_vae_weight_path:
+        dvae_vars = C.restore_checkpoint(args.discrete_vae_weight_path, dvae_vars)
+
+    params = model.init(rng, sample, sample_mask)["params"]
+    lr_schedule, wd_schedule, _ = B.build_lr_schedules(args, steps_per_epoch)
+    tx = B.build_optimizer(args, params, lr_schedule, wd_schedule, cfg.depth)
+    state = MIMState(params=params, opt_state=tx.init(params), step=jnp.zeros([], jnp.int32))
+
+    start_epoch = 0
+    if args.auto_resume:
+        state, start_epoch = C.auto_load(args.output_dir, state)
+
+    step_fn = make_mim_train_step(model, dvae, dvae_vars, tx, lr_schedule)
+    mean = IMAGENET_DEFAULT_MEAN if args.imagenet_default_mean_and_std else IMAGENET_INCEPTION_MEAN
+    std = IMAGENET_DEFAULT_STD if args.imagenet_default_mean_and_std else IMAGENET_INCEPTION_STD
+    jsonl = JsonlLogger(args.output_dir)
+    grid = cfg.grid_size
+
+    for epoch in range(start_epoch, args.epochs):
+        loader.set_epoch(epoch)
+        logger = MetricLogger()
+        data_rng = jax.random.fold_in(rng, epoch)
+        for step, batch in enumerate(logger.log_every(loader, 10, f"Epoch: [{epoch}]")):
+            if step >= steps_per_epoch:
+                break
+            akey = jax.random.fold_in(data_rng, step)
+            images, vae_images = two_view_batch(
+                akey, batch[0], args.input_size, args.second_input_size, mean, std
+            )
+            masks = batched_blockwise_mask(
+                jax.random.fold_in(akey, 1), images.shape[0], grid,
+                args.num_mask_patches, args.min_mask_patches_per_block,
+                args.max_mask_patches_per_block,
+            )
+            state, metrics = step_fn(state, images, vae_images, masks, rng)
+            loss = float(metrics["loss"])
+            B.check_finite_or_die(loss, int(state.step))
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        jsonl.write({"epoch": epoch, **logger.epoch_summary()})
+        if args.output_dir and (
+            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
+        ):
+            C.save_checkpoint(args.output_dir, epoch, state)
+    return state
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

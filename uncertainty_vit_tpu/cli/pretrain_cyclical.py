@@ -1,0 +1,172 @@
+"""Cyclical (data2vec) pretraining driver — replaces run_cyclical.py.
+
+Recipe (README.md:11-25): ViT-B, 800 epochs, global batch 2048, lr 2e-3,
+mask 120, EMA 0.9998 (init 0.999), clip 3.0, drop-path 0.25, attn-drop 0.05,
+target layers [6..11].
+
+Example (smoke):
+  python -m uncertainty_vit_tpu.cli.pretrain_cyclical \
+      --data_set CIFAR100 --data_path /data/cifar --input_size 224 \
+      --batch_size 64 --epochs 1 --steps_per_epoch 20 --output_dir /tmp/cyc
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncertainty_vit_tpu.cli import builders as B
+from uncertainty_vit_tpu.cli.common import setup_jax
+from uncertainty_vit_tpu.models.cyclical import CyclicalViT
+from uncertainty_vit_tpu.models.dist_vit import DistCyclicalViT
+from uncertainty_vit_tpu.ops.augment import pretrain_augment_batch
+from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask
+from uncertainty_vit_tpu.train.engine_cyclical import (
+    CyclicalHParams, init_cyclical_state, make_cyclical_train_step,
+)
+from uncertainty_vit_tpu.utils import checkpoint as C
+from uncertainty_vit_tpu.utils.logging import JsonlLogger, MetricLogger, TensorboardLogger
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("cyclical pretraining", add_help=True)
+    B.add_model_args(p)
+    B.add_opt_args(p, lr=2e-3)
+    B.add_data_args(p)
+    B.add_mask_args(p)
+    B.add_io_args(p)
+    g = p.add_argument_group("cyclical")
+    g.add_argument("--target_layers", type=str, default="[6,7,8,9,10,11]")
+    g.add_argument("--layer_results", type=str, default="end", choices=["end", "fc"])
+    g.add_argument("--l1_beta", type=float, default=2.0)
+    g.add_argument("--l2_loss", action="store_true")
+    g.add_argument("--var_w0", type=float, default=0.0)
+    g.add_argument("--var_margin0", type=float, default=0.5)
+    g.add_argument("--loss_scale", type=float, default=-1.0)
+    g.add_argument("--ema_decay", type=float, default=0.9998)
+    g.add_argument("--ema_decay_init", type=float, default=0.999)
+    g.add_argument("--ema_start_at", type=int, default=0)
+    g.add_argument("--start_lr_decay_at_step", type=int, default=-1)
+    g.add_argument("--target_layer_norm_last", default=True, type=ast.literal_eval)
+    g.add_argument("--target_batch_norm", action="store_true")
+    g.add_argument("--target_instance_norm", action="store_true")
+    g.add_argument("--post_target_instance_norm", action="store_true")
+    g.add_argument("--post_target_layer_norm", action="store_true")
+    g.add_argument("--lambda_pretraining", type=float, default=1e-5)
+    return p
+
+
+def main(args):
+    setup_jax()
+    print(f"devices: {jax.devices()}", flush=True)
+
+    loader, _ = B.build_loaders(args, is_train=True)
+    steps_per_epoch = args.steps_per_epoch or len(loader)
+    cfg = B.model_config_from_args(args, num_classes=0).replace(head_type="none")
+    dtype = B.compute_dtype(args)
+    model_cls = DistCyclicalViT if args.stochastic else CyclicalViT
+    model = model_cls(cfg=cfg, dtype=dtype)
+
+    hp = CyclicalHParams(
+        target_layers=tuple(ast.literal_eval(args.target_layers)),
+        layer_results=args.layer_results,
+        l1_beta=args.l1_beta,
+        l2_loss=args.l2_loss,
+        var_w0=args.var_w0,
+        var_margin0=args.var_margin0,
+        loss_scale=args.loss_scale,
+        mask_dropout_prob=args.mask_dropout_prob,
+        target_layer_norm_last=args.target_layer_norm_last,
+        target_batch_norm=args.target_batch_norm,
+        target_instance_norm=args.target_instance_norm,
+        post_target_instance_norm=args.post_target_instance_norm,
+        post_target_layer_norm=args.post_target_layer_norm,
+        ema_decay=args.ema_decay,
+        ema_decay_init=args.ema_decay_init,
+        ema_start_at=args.ema_start_at,
+        start_lr_decay_at_step=args.start_lr_decay_at_step,
+        stochastic=args.stochastic,
+        lambda_pretraining=args.lambda_pretraining,
+    )
+    lr_schedule, wd_schedule, total_steps = B.build_lr_schedules(args, steps_per_epoch)
+
+    rng = jax.random.PRNGKey(args.seed)
+    sample = jnp.zeros((args.batch_size, args.input_size, args.input_size, 3))
+    sample_mask = jnp.zeros((args.batch_size, cfg.num_patches))
+    params = model.init(rng, sample, sample_mask)["params"]
+    n_params = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)) / 1e6
+    print(f"model: {args.model} ({n_params:.1f}M params), steps/epoch {steps_per_epoch}, "
+          f"total {total_steps}", flush=True)
+
+    tx = B.build_optimizer(args, params, lr_schedule, wd_schedule, cfg.depth)
+    state = init_cyclical_state(model, tx, rng, sample, sample_mask)
+
+    start_epoch = 0
+    if args.auto_resume and not args.resume:
+        state, start_epoch = C.auto_load(args.output_dir, state)
+        if start_epoch:
+            print(f"auto-resumed from epoch {start_epoch}", flush=True)
+    elif args.resume:
+        state = C.restore_checkpoint(args.resume, state)
+
+    if args.finetune and args.finetune.endswith((".pth", ".pt")):
+        sd = C.load_torch_state_dict(args.finetune)
+        params, missing, unused = C.import_torch_params(sd, state.params)
+        state = state.replace(params=params, ema_params=params)
+        print(f"seeded from {args.finetune}: {len(missing)} missing, {len(unused)} unused",
+              flush=True)
+
+    train_step = make_cyclical_train_step(model, tx, hp, lr_schedule)
+    tb = TensorboardLogger(args.log_dir or args.output_dir)
+    jsonl = JsonlLogger(args.output_dir)
+    grid = cfg.grid_size
+
+    for epoch in range(start_epoch, args.epochs):
+        loader.set_epoch(epoch)
+        logger = MetricLogger()
+        data_rng = jax.random.fold_in(rng, epoch)
+        for step, batch in enumerate(
+            logger.log_every(loader, 10, f"Epoch: [{epoch}]")
+        ):
+            if step >= steps_per_epoch:
+                break
+            images_u8, _ = batch[0], batch[-1]
+            akey = jax.random.fold_in(data_rng, step)
+            images = pretrain_augment_batch(
+                akey, jnp.asarray(images_u8), out_size=args.input_size,
+                aug_level=args.aug_level,
+                imagenet_default_mean_and_std=args.imagenet_default_mean_and_std,
+                color_jitter_strength=args.color_jitter,
+            )
+            masks = batched_blockwise_mask(
+                jax.random.fold_in(akey, 1), images.shape[0], grid,
+                args.num_mask_patches, args.min_mask_patches_per_block,
+                args.max_mask_patches_per_block,
+            )
+            state, metrics = train_step(state, images, masks, rng)
+            loss = float(metrics["loss"])
+            B.check_finite_or_die(loss, int(state.step))
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+            tb.update(head="loss", loss=loss)
+            tb.update(head="opt", lr=float(metrics.get("lr", 0.0)),
+                      grad_norm=float(metrics["grad_norm"]))
+            tb.set_step()
+
+        summary = logger.epoch_summary()
+        jsonl.write({"epoch": epoch, **{f"train_{k}": v for k, v in summary.items()}})
+        if args.output_dir and (
+            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
+        ):
+            C.save_checkpoint(args.output_dir, epoch, state)
+        tb.flush()
+    print("done.", flush=True)
+    return state
+
+
+if __name__ == "__main__":
+    main(get_args_parser().parse_args())

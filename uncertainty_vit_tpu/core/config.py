@@ -135,6 +135,11 @@ def vit_huge() -> ViTConfig:
 
 
 PRESETS = {
+    # tiny preset for smoke/integration tests (CPU-friendly)
+    "beit_test_patch16_32": ViTConfig(
+        img_size=32, patch_size=16, embed_dim=32, depth=2, num_heads=2,
+        use_flash_attention=False,
+    ),
     "beit_base_patch16_224": vit_base(),
     "beit_base_patch16_384": vit_base().replace(img_size=384),
     "beit_large_patch16_224": vit_large(224),

@@ -264,15 +264,16 @@ class TinyImageNetC(ImageFolder):
 # Corruption / perturbation tensors
 # ---------------------------------------------------------------------------
 
-# uncertainty_evaluations.py:846-853
+# uncertainty_evaluations.py:846-853 (canonical lists live in
+# evals/robustness.py; re-exported here for dataset-side use)
 CIFAR_DISTORTIONS = (
     "gaussian_noise", "shot_noise", "impulse_noise", "defocus_blur",
-    "glass_blur", "motion_blur", "zoom_blur", "snow", "frost", "fog",
-    "brightness", "contrast", "elastic_transform", "pixelate",
-    "jpeg_compression",
+    "glass_blur", "motion_blur", "zoom_blur", "snow", "frost", "brightness",
+    "contrast", "elastic_transform", "pixelate", "jpeg_compression",
+    "speckle_noise",
 )
 CIFAR_PERTURBATIONS = ("gaussian_noise", "shot_noise", "motion_blur", "zoom_blur",
-                       "spatter", "brightness", "translate", "rotate", "tilt", "scale")
+                       "snow", "brightness", "translate", "rotate", "tilt", "scale")
 
 
 def load_cifar_c(root: str, distortion: str, severity: int) -> ArrayDataset:

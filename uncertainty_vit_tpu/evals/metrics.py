@@ -27,12 +27,15 @@ def softmax_probs(logits: jnp.ndarray) -> jnp.ndarray:
 
 
 def accuracy_topk(logits: jnp.ndarray, labels: jnp.ndarray, ks=(1, 5)) -> Tuple[jnp.ndarray, ...]:
-    """timm accuracy: top-k percentage (0-100)."""
-    maxk = max(ks)
+    """timm accuracy: top-k percentage (0-100). k is clamped to the class
+    count (so acc@5 on a 3-class problem degrades to acc@3)."""
+    nc = logits.shape[-1]
+    maxk = min(max(ks), nc)
     _, pred = jax.lax.top_k(logits, maxk)
     correct = pred == labels[:, None]
     return tuple(
-        100.0 * jnp.mean(jnp.any(correct[:, :k], axis=1).astype(jnp.float32)) for k in ks
+        100.0 * jnp.mean(jnp.any(correct[:, : min(k, nc)], axis=1).astype(jnp.float32))
+        for k in ks
     )
 
 
