@@ -20,7 +20,7 @@ import numpy as np
 from uncertainty_vit_tpu.core.init import scaled, torch_bias_default, torch_linear_default, trunc_normal
 from uncertainty_vit_tpu.ops import attention as attn_ops
 from uncertainty_vit_tpu.ops import relpos
-from uncertainty_vit_tpu.ops.flash_attention import flash_attention
+from uncertainty_vit_tpu.ops.flash_attention import fused_qkv_attention, kernel_supported
 
 Dtype = Any
 
@@ -164,17 +164,12 @@ class Attention(nn.Module):
         tn = trunc_normal(self.init_std, self.init_trunc_abs)
 
         qkv_kernel = self.param("qkv_kernel", tn, (c, all_head_dim * 3))
-        qkv = jnp.einsum(
-            "bnc,cd->bnd", x, qkv_kernel.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        qkv = x @ qkv_kernel.astype(self.dtype)
         if self.qkv_bias:
             q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
             v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
             bias = jnp.concatenate([q_bias, jnp.zeros_like(v_bias), v_bias])
             qkv = qkv + bias.astype(self.dtype)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = [jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3)]  # [B,H,N,D]
 
         bias_bhnn = None
         if self.window_size is not None:
@@ -193,12 +188,26 @@ class Attention(nn.Module):
         use_kernel = (
             self.use_flash
             and self.variant == "softmax"
-            and (deterministic or self.attn_drop == 0.0)
+            and kernel_supported(self.num_heads, head_dim)
             and jax.default_backend() == "tpu"
         )
         if use_kernel:
-            out = flash_attention(q, k, v, bias_bhnn, scale)
+            # Fused path: per-head slicing happens inside the kernel, so the
+            # [B, H, N, D] transposed copies never materialize; attention
+            # dropout runs in-kernel with a regenerable per-(b,h) mask.
+            drop_rate = 0.0 if deterministic else self.attn_drop
+            if drop_rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, 2**31 - 1, jnp.int32
+                )
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            out = fused_qkv_attention(
+                qkv, bias_bhnn, seed, scale, self.num_heads, drop_rate
+            )
         else:
+            qkv_r = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+            q, k, v = [jnp.moveaxis(qkv_r[:, :, i], 1, 2) for i in range(3)]
             dropout_rng = None
             gumbel_rng = None
             if self.attn_drop > 0.0 and not deterministic:
@@ -215,8 +224,7 @@ class Attention(nn.Module):
                 sinkformer_eps=self.sinkformer_eps,
                 sinkformer_iters=self.sinkformer_iters,
             )
-
-        out = jnp.moveaxis(out, 1, 2).reshape(b, n, all_head_dim)
+            out = jnp.moveaxis(out, 1, 2).reshape(b, n, all_head_dim)
         proj_init = tn if self.layer_id == 0 else scaled(tn, 1.0 / np.sqrt(2.0 * self.layer_id))
         out = nn.Dense(
             self.dim, kernel_init=proj_init, bias_init=nn.initializers.zeros,

@@ -1,15 +1,27 @@
-"""Fused TPU attention kernel (Pallas).
+"""Fused TPU attention kernels (Pallas).
 
-The reference's attention (modeling_finetune.py:155-185) materializes the
-[B, H, N, N] score tensor in HBM four times (scores, +bias, softmax, dropout).
-For ViT sequence lengths (197 / 577 / 1025 tokens) the whole key/value block
-fits in VMEM, so instead of a streaming flash-attention we fuse the entire
-q-tile × full-K attention into one kernel: scores, bias add, padding mask,
-exact softmax, and the PV matmul never leave VMEM.
+Profiling on v5e showed XLA's unfused attention spending ~3.6 ms/layer at
+ViT-B batch 128 where the raw FLOPs are worth ~0.15 ms: the [B, H, N, N]
+score tensor round-trips HBM and the qkv head split materializes three
+transposed copies. These kernels remove both:
 
-Forward is a Pallas kernel; backward is an exact jnp recompute (registered via
-custom_vjp) whose matmuls XLA maps straight onto the MXU. Attention dropout
-and the exotic probability variants route to ops/attention.py instead.
+- inputs are the *fused* qkv activations [B, N, 3C] straight out of the qkv
+  matmul — per-head q/k/v slabs are BlockSpec slices, so no transpose or
+  reshape ever materializes;
+- each program handles a (batch, head-group) tile — head groups of
+  128/head_dim heads keep the lane dimension at the 128 the Mosaic tiling
+  requires — computing scores + bias + exact softmax + optional attention
+  dropout + PV entirely in VMEM;
+- the backward is a second Pallas kernel (same layout) that recomputes
+  probabilities, regenerates the identical dropout mask from the same
+  per-(b,h) seed (pltpu.prng), and accumulates the rel-pos-bias gradient by
+  revisiting its output block across the inner batch grid dimension;
+- outputs write back as [B, N, C] head slices, feeding the projection matmul
+  directly.
+
+Replaces the reference attention data path (modeling_finetune.py:150-185).
+Sequence lengths up to ~1k (ViT 224/384/512) fit one program's VMEM; exotic
+probability variants and the correctness reference live in ops/attention.py.
 """
 
 from __future__ import annotations
@@ -22,117 +34,261 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from uncertainty_vit_tpu.ops.attention import attention_scores
-
 _LANE = 128
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+def kernel_supported(num_heads: int, head_dim: int) -> bool:
+    group = max(_LANE // head_dim, 1)
+    return head_dim * group == _LANE and num_heads % group == 0 or head_dim % _LANE == 0
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float, n_real: int):
-    """One (batch, head, q-tile) program: full-K fused attention.
+def _head_group(head_dim: int) -> int:
+    return max(_LANE // head_dim, 1)
 
-    q_ref: [1, 1, bq, D]; k_ref/v_ref: [1, 1, Np, D]; bias_ref: [1, bq, Np]
-    (or None); o_ref: [1, 1, bq, D].
-    """
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
 
+def _dropout_mask(shape, rate: float):
+    """Regenerable in-kernel dropout keep-mask (scaled). Caller must have
+    seeded pltpu.prng for the current program."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(min(int(rate * (2**32)), 2**32 - 1))
+    keep = bits >= threshold
+    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+
+
+def _attend_one_head(q, k, v, bias, dropout_rate: float):
+    """[N, D] slabs → (out [N, D] f32, probs, probs_dropped, mask)."""
     scores = jax.lax.dot_general(
-        q.astype(jnp.float32) * scale,
-        k.astype(jnp.float32),
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [bq, Np]
-    if bias_ref is not None:
-        scores = scores + bias_ref[0].astype(jnp.float32)
-
-    n_pad = scores.shape[-1]
-    if n_real < n_pad:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
-        scores = jnp.where(col < n_real, scores, -1e30)
-
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        scores = scores + bias
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
-
-    out = jnp.dot(probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
-
-
-def _flash_fwd_impl(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    bias: Optional[jnp.ndarray],
-    scale: float,
-    block_q: int,
-) -> jnp.ndarray:
-    b, h, n, d = q.shape
-    n_pad = _round_up(n, _LANE)
-    d_pad = _round_up(d, _LANE)
-    bq = min(block_q, n_pad)
-    n_q_blocks = pl.cdiv(n_pad, bq)
-
-    pad4 = [(0, 0), (0, 0), (0, n_pad - n), (0, d_pad - d)]
-    qp = jnp.pad(q, pad4)
-    kp = jnp.pad(k, pad4)
-    vp = jnp.pad(v, pad4)
-    if bias is not None:
-        bias = jnp.broadcast_to(bias, (h, n, n))
-        bias_p = jnp.pad(bias, [(0, 0), (0, n_pad - n), (0, n_pad - n)])
-        bias_spec = pl.BlockSpec(
-            (1, bq, n_pad), lambda ib, ih, iq: (ih, iq, 0), memory_space=pltpu.VMEM
-        )
-        bias_args = (bias_p,)
+    if dropout_rate > 0.0:
+        mask = _dropout_mask(probs.shape, dropout_rate)
+        probs_dropped = probs * mask
     else:
-        bias_spec = None
-        bias_args = ()
+        mask = None
+        probs_dropped = probs
+    out = jnp.dot(probs_dropped.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out, probs, probs_dropped, mask
 
-    kernel = functools.partial(_attn_kernel, scale=scale, n_real=n)
-    if bias is None:
-        kernel = functools.partial(
-            lambda qr, kr, vr, orf, **kw: _attn_kernel(qr, kr, vr, None, orf, **kw),
-            scale=scale,
-            n_real=n,
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
+                scale: float, dropout_rate: float, group: int, head_dim: int,
+                num_groups: int):
+    b_idx = pl.program_id(0)
+    g_idx = pl.program_id(1)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + b_idx * num_groups + g_idx)
+    for i in range(group):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        q = q_ref[0][:, sl].astype(jnp.float32) * scale
+        k = k_ref[0][:, sl].astype(jnp.float32)
+        v = v_ref[0][:, sl]
+        bias = bias_ref[i].astype(jnp.float32) if bias_ref is not None else None
+        out, _, _, _ = _attend_one_head(q, k, v, bias, dropout_rate)
+        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, *,
+                scale: float, dropout_rate: float, group: int, head_dim: int,
+                num_groups: int):
+    # grid is (G, B): head-group outer, batch inner → dbias_ref revisits the
+    # same block across b steps and accumulates in VMEM.
+    g_idx = pl.program_id(0)
+    b_idx = pl.program_id(1)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + b_idx * num_groups + g_idx)
+
+    @pl.when(b_idx == 0)
+    def _():
+        if dbias_ref is not None:
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for i in range(group):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        q = q_ref[0][:, sl].astype(jnp.float32) * scale
+        k32 = k_ref[0][:, sl].astype(jnp.float32)
+        v = v_ref[0][:, sl]
+        g = g_ref[0][:, sl]
+        bias = bias_ref[i].astype(jnp.float32) if bias_ref is not None else None
+
+        _, probs, probs_dropped, mask = _attend_one_head(q, k32, v, bias, dropout_rate)
+
+        dv = jax.lax.dot_general(
+            probs_dropped.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            dp = dp * mask
+        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        ds_c = ds.astype(q_ref.dtype)
 
-    in_specs = [
-        pl.BlockSpec(
-            (1, 1, bq, d_pad), lambda ib, ih, iq: (ib, ih, iq, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, 1, n_pad, d_pad), lambda ib, ih, iq: (ib, ih, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec(
-            (1, 1, n_pad, d_pad), lambda ib, ih, iq: (ib, ih, 0, 0), memory_space=pltpu.VMEM
-        ),
+        dq = jnp.dot(ds_c, k_ref[0][:, sl], preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds_c, (q_ref[0][:, sl]), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        if dbias_ref is not None:
+            dbias_ref[i] += ds
+
+
+def _qkv_specs(n: int, lanes: int, num_groups: int, bh_grid: bool):
+    """BlockSpecs slicing per-head-group q/k/v from the fused [B, N, 3C]
+    tensor. bh_grid=True → grid (B, G); False → grid (G, B)."""
+
+    def idx(offset_groups):
+        if bh_grid:
+            return lambda b, g: (b, 0, offset_groups + g)
+        return lambda g, b: (b, 0, offset_groups + g)
+
+    shape = (1, n, lanes)
+    return [
+        pl.BlockSpec(shape, idx(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(shape, idx(num_groups), memory_space=pltpu.VMEM),
+        pl.BlockSpec(shape, idx(2 * num_groups), memory_space=pltpu.VMEM),
     ]
-    if bias_spec is not None:
-        in_specs.append(bias_spec)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, h, n_q_blocks),
+
+def _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    head_dim = c // num_heads
+    group = _head_group(head_dim)
+    num_groups = num_heads // group
+    lanes = group * head_dim
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += _qkv_specs(n, lanes, num_groups, bh_grid=True)
+    args = [seed, qkv, qkv, qkv]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((group, n, n), lambda bb, g: (g, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+        kernel = _fwd_kernel
+    else:
+        kernel = lambda s, q, k, v, o, **kw: _fwd_kernel(s, q, k, v, None, o, **kw)
+
+    return pl.pallas_call(
+        functools.partial(kernel, scale=scale, dropout_rate=dropout_rate,
+                          group=group, head_dim=head_dim, num_groups=num_groups),
+        grid=(b, num_groups),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, 1, bq, d_pad), lambda ib, ih, iq: (ib, ih, iq, 0), memory_space=pltpu.VMEM
+            (1, n, lanes), lambda bb, g: (bb, 0, g), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, n_pad, d_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * n_pad * n_pad * d_pad,
-            bytes_accessed=(3 * b * h * n_pad * d_pad + b * h * n_pad * d_pad)
-            * q.dtype.itemsize,
-            transcendentals=b * h * n_pad * n_pad,
+            flops=4 * b * num_heads * n * n * head_dim,
+            bytes_accessed=2 * b * n * c3 * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
         ),
-    )(qp, kp, vp, *bias_args)
-    return out[:, :, :n, :d]
+    )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    head_dim = c // num_heads
+    group = _head_group(head_dim)
+    num_groups = num_heads // group
+    lanes = group * head_dim
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += _qkv_specs(n, lanes, num_groups, bh_grid=False)
+    args = [seed, qkv, qkv, qkv]
+    has_bias = bias is not None
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((group, n, n), lambda gg, b_: (gg, 0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(bias)
+    in_specs.append(
+        pl.BlockSpec((1, n, lanes), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM)
+    )
+    args.append(g)
+
+    grad_spec = pl.BlockSpec(
+        (1, n, lanes), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM
+    )
+    out_specs = [grad_spec, grad_spec, grad_spec]
+    out_shapes = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype)] * 3
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((group, n, n), lambda gg, b_: (gg, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct(bias.shape, jnp.float32))
+        kernel = _bwd_kernel
+    else:
+        kernel = lambda s, q, k, v, g_, dq, dk, dv, **kw: _bwd_kernel(
+            s, q, k, v, None, g_, dq, dk, dv, None, **kw
+        )
+
+    outs = pl.pallas_call(
+        functools.partial(kernel, scale=scale, dropout_rate=dropout_rate,
+                          group=group, head_dim=head_dim, num_groups=num_groups),
+        grid=(num_groups, b),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * num_heads * n * n * head_dim,
+            bytes_accessed=4 * b * n * c3 * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+    )(*args)
+
+    dq, dk, dv = outs[:3]
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    dbias = outs[3].astype(bias.dtype) if has_bias else None
+    return dqkv, dbias
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_qkv_attention(
+    qkv: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    seed: jnp.ndarray,
+    scale: float,
+    num_heads: int,
+    dropout_rate: float = 0.0,
+) -> jnp.ndarray:
+    """Fused multi-head attention over packed qkv activations.
+
+    qkv: [B, N, 3C] (q|k|v concatenated, heads interleaved as C = H·D);
+    bias: [H, N, N] or None; seed: int32 [1] (ignored when dropout_rate=0).
+    Returns [B, N, C] in qkv.dtype. Numerics match
+    ops.attention.naive_attention(softmax); dropout masks are the kernel's
+    own (pltpu prng), deterministic per (seed, batch, head).
+    """
+    return _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate)
+
+
+def _fused_fwd(qkv, bias, seed, scale, num_heads, dropout_rate):
+    out = _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate)
+    return out, (qkv, bias, seed)
+
+
+def _fused_bwd(scale, num_heads, dropout_rate, res, g):
+    qkv, bias, seed = res
+    dqkv, dbias = _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate)
+    return (dqkv, dbias, None)
+
+
+fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -141,49 +297,12 @@ def flash_attention(
     scale: float,
     block_q: int = 512,
 ) -> jnp.ndarray:
-    """Fused softmax attention. q/k/v: [B, H, N, D]; bias: [H, N, N] or None.
-
-    Exact (non-approximate) softmax over the full key axis; numerically
-    matches ops.attention.naive_attention(variant='softmax') with no dropout.
-    """
-    return _flash_fwd_impl(q, k, v, bias, scale, block_q)
-
-
-def _flash_fwd(q, k, v, bias, scale, block_q):
-    out = _flash_fwd_impl(q, k, v, bias, scale, block_q)
-    return out, (q, k, v, bias)
-
-
-def _flash_bwd(scale, block_q, res, g):
-    q, k, v, bias = res
-    # Exact recompute in f32: cheap at ViT sequence lengths, and XLA fuses the
-    # elementwise chain into the MXU matmuls.
-    scores = attention_scores(q, k, scale, bias)
-    probs = jax.nn.softmax(scores, axis=-1)
-
-    g32 = g.astype(jnp.float32)
-    v32 = v.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", probs, g32, preferred_element_type=jnp.float32)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v32, preferred_element_type=jnp.float32)
-    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    dq = (
-        jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
-    )
-    dk = (
-        jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
-    )
-    if bias is not None:
-        dbias = ds
-        # Reduce over broadcast dims to recover the bias shape.
-        while dbias.ndim > bias.ndim:
-            dbias = dbias.sum(axis=0)
-        for ax in range(bias.ndim):
-            if bias.shape[ax] == 1 and dbias.shape[ax] != 1:
-                dbias = dbias.sum(axis=ax, keepdims=True)
-        dbias = dbias.astype(bias.dtype)
-    else:
-        dbias = None
-    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias)
-
-
-flash_attention.defvjp(_flash_fwd, _flash_bwd)
+    """Compatibility wrapper over [B, H, N, D] inputs (repacks into the fused
+    qkv layout; prefer fused_qkv_attention to avoid the transposes)."""
+    del block_q
+    b, h, n, d = q.shape
+    to_flat = lambda t: jnp.moveaxis(t, 1, 2).reshape(b, n, h * d)
+    qkv = jnp.concatenate([to_flat(q), to_flat(k), to_flat(v)], axis=-1)
+    seed = jnp.zeros((1,), jnp.int32)
+    out = fused_qkv_attention(qkv, bias, seed, scale, h, 0.0)
+    return jnp.moveaxis(out.reshape(b, n, h, d), 2, 1)
