@@ -79,6 +79,9 @@ def add_data_args(p: argparse.ArgumentParser):
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--imagenet_default_mean_and_std", default=True, type=ast.literal_eval)
     g.add_argument("--color_jitter", type=float, default=0.4)
+    g.add_argument("--aa", type=str, default=None,
+                   help="'rand-m9-mstd0.5-inc1'-style RandAugment policy "
+                        "(on-device; disables color jitter like timm)")
     g.add_argument("--aug_level", type=int, default=-1)
     g.add_argument("--reprob", type=float, default=0.25)
     g.add_argument("--crop_pct", type=float, default=None)

@@ -70,6 +70,20 @@ def get_args_parser():
     return p
 
 
+def _aa_kwargs(args):
+    """Parse 'rand-mM-mstdS[-inc1]' (run_class_finetuning.py default aa)."""
+    aa = getattr(args, "aa", None)
+    if not aa or aa in ("None", "none"):
+        return {}
+    mag, mstd = 9.0, 0.5
+    for part in aa.split("-"):
+        if part.startswith("mstd"):
+            mstd = float(part[4:])
+        elif part.startswith("m") and part[1:].replace(".", "").isdigit():
+            mag = float(part[1:])
+    return {"auto_augment": True, "aa_magnitude": mag, "aa_magnitude_std": mstd}
+
+
 def build_model(args, nb_classes):
     cfg = B.model_config_from_args(args, nb_classes)
     dtype = B.compute_dtype(args)
@@ -280,11 +294,13 @@ def main(args):
             if step >= steps_per_epoch:
                 break
             akey = jax.random.fold_in(data_rng, step)
+            aa_kw = _aa_kwargs(args)
             if triplet:
                 img_u8, pos_u8, neg_u8, labels = batch
                 img = finetune_train_augment_batch(
                     akey, jnp.asarray(img_u8), args.input_size,
-                    args.color_jitter, args.reprob, args.imagenet_default_mean_and_std,
+                    args.color_jitter, args.reprob,
+                    args.imagenet_default_mean_and_std, **aa_kw,
                 )
                 pos = next(_eval_batches([(pos_u8, labels)], args))[0]
                 neg = next(_eval_batches([(neg_u8, labels)], args))[0]
@@ -293,7 +309,8 @@ def main(args):
                 images_u8, labels = batch[0], batch[-1]
                 images = finetune_train_augment_batch(
                     akey, jnp.asarray(images_u8), args.input_size,
-                    args.color_jitter, args.reprob, args.imagenet_default_mean_and_std,
+                    args.color_jitter, args.reprob,
+                    args.imagenet_default_mean_and_std, **aa_kw,
                 )
                 state, metrics = train_step(state, images, jnp.asarray(labels), rng)
             loss = float(metrics["loss"])

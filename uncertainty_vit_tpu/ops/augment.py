@@ -574,7 +574,8 @@ def pretrain_augment_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "color_jitter_strength", "reprob",
-                     "imagenet_default_mean_and_std", "hflip"),
+                     "imagenet_default_mean_and_std", "hflip", "auto_augment",
+                     "aa_magnitude", "aa_magnitude_std"),
 )
 def finetune_train_augment_batch(
     key: jax.Array,
@@ -584,11 +585,16 @@ def finetune_train_augment_batch(
     reprob: float = 0.25,
     imagenet_default_mean_and_std: bool = True,
     hflip: float = 0.5,
+    auto_augment: bool = False,
+    aa_magnitude: float = 9.0,
+    aa_magnitude_std: float = 0.5,
 ) -> jnp.ndarray:
     """Finetune train transform core (timm create_transform as invoked at
-    run_class_finetuning.py:117 / datasets.py:221-239): RRC + hflip + color
-    jitter + normalize + random erasing. RandAugment lives in
-    ops/randaugment.py and is applied by the input pipeline when enabled."""
+    run_class_finetuning.py:117 / datasets.py:221-239): RRC + hflip +
+    (RandAugment XOR color jitter, timm semantics) + normalize + random
+    erasing. auto_augment=True enables the on-device rand-m9-mstd0.5-inc1
+    policy (ops/randaugment.py) and disables color jitter, exactly as timm
+    does when `--aa` is set."""
     mean = IMAGENET_DEFAULT_MEAN if imagenet_default_mean_and_std else IMAGENET_INCEPTION_MEAN
     std = IMAGENET_DEFAULT_STD if imagenet_default_mean_and_std else IMAGENET_INCEPTION_STD
     imgs = to_planar(images_u8)
@@ -596,7 +602,13 @@ def finetune_train_augment_batch(
 
     imgs = random_resized_crop_batch(kc, imgs, out_size)
     imgs = random_hflip_batch(kf, imgs, hflip)
-    if color_jitter_strength:
+    if auto_augment:
+        from uncertainty_vit_tpu.ops.randaugment import rand_augment_batch
+
+        imgs = rand_augment_batch(
+            kj, imgs, magnitude=aa_magnitude, magnitude_std=aa_magnitude_std
+        )
+    elif color_jitter_strength:
         imgs = color_jitter_batch(kj, imgs, color_jitter_strength,
                                   color_jitter_strength, color_jitter_strength)
     pmean = jnp.asarray(mean, jnp.float32).reshape(1, 3, 1, 1)
