@@ -181,7 +181,8 @@ class ImageFolder:
                     nw, nh = s, max(int(round(s * h / w)), s)
                 else:
                     nh, nw = s, max(int(round(s * w / h)), s)
-                im = im.resize((nw, nh), Image.BICUBIC)
+                # BILINEAR to match the native C++ decode path (utils/native.py)
+                im = im.resize((nw, nh), Image.BILINEAR)
                 left, top = (nw - s) // 2, (nh - s) // 2
                 im = im.crop((left, top, left + s, top + s))
             return np.asarray(im, dtype=np.uint8)
@@ -194,6 +195,36 @@ class ImageFolder:
             except Exception:
                 idx = random.randrange(len(self.samples))
         raise RuntimeError(f"too many corrupt images near {path}")
+
+    def native_batch_decode(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        """GIL-free batched JPEG decode via the C++ runtime (utils/native.py);
+        non-JPEG or corrupt files fall back to PIL / random resampling
+        (dataset_folder.py:164-171 semantics). Requires decode_size."""
+        from uncertainty_vit_tpu.utils import native
+
+        assert self.decode_size is not None
+        indices = list(int(i) for i in indices)
+        paths = [self.samples[i][0] for i in indices]
+        labels = np.asarray([self.samples[i][1] for i in indices], np.int64)
+
+        jpeg_mask = [p.lower().endswith((".jpg", ".jpeg")) for p in paths]
+        out = np.empty((len(paths), self.decode_size, self.decode_size, 3), np.uint8)
+        ok = np.zeros(len(paths), bool)
+        if native.available() and any(jpeg_mask):
+            jpeg_pos = [i for i, m in enumerate(jpeg_mask) if m]
+            batch, good = native.decode_jpeg_batch(
+                [paths[i] for i in jpeg_pos], self.decode_size
+            )
+            for j, pos in enumerate(jpeg_pos):
+                if good[j]:
+                    out[pos] = batch[j]
+                    ok[pos] = True
+        for i in range(len(paths)):
+            if not ok[i]:
+                img, lbl = self[indices[i]]  # PIL fallback + corrupt retry
+                out[i] = img
+                labels[i] = lbl
+        return out, labels
 
 
 # ---------------------------------------------------------------------------

@@ -63,11 +63,19 @@ class BatchLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _load_batch(self, batch_idx: np.ndarray):
+        # fast path: GIL-free batched decode in the C++ IO runtime
+        if hasattr(self.dataset, "native_batch_decode") and getattr(
+            self.dataset, "decode_size", None
+        ):
+            return self.dataset.native_batch_decode(batch_idx)
+
         items = [self.dataset[int(i)] for i in batch_idx]
         cols = list(zip(*items))
+        from uncertainty_vit_tpu.utils import native
+
         out = []
         for col in cols[:-1]:
-            out.append(np.stack(col))
+            out.append(native.assemble_batch(list(col)))
         out.append(np.asarray(cols[-1], np.int64))
         return tuple(out)
 
