@@ -150,6 +150,18 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
 
         croot = args.corruption_data_path or args.data_path
+        if args.data_set.startswith("CIFAR"):
+            available = tuple(
+                d for d in R.DISTORTIONS
+                if os.path.exists(os.path.join(croot, f"{d}.npy"))
+            )
+        else:
+            available = tuple(
+                d for d in R.DISTORTIONS if os.path.isdir(os.path.join(croot, d))
+            )
+        skipped = set(R.DISTORTIONS) - set(available)
+        if skipped:
+            print(f"skipping distortions with no data: {sorted(skipped)}", flush=True)
 
         def loader_factory(name):
             if args.data_set.startswith("CIFAR"):
@@ -169,7 +181,7 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
                                              num_workers=args.num_workers, drop_last=False):
                         yield from _eval_batches([batch], args)
 
-        results["corruption"] = R.evaluate_corruption(fwd, loader_factory)
+        results["corruption"] = R.evaluate_corruption(fwd, loader_factory, distortions=available)
         print(json.dumps(results["corruption"], indent=2), flush=True)
         return results
 
@@ -187,7 +199,8 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
                 yield vids[i : i + per]
 
         results["perturbation"] = R.evaluate_perturbation(
-            fwd, video_loader, nb_classes, frame_size=args.input_size
+            fwd, video_loader, nb_classes, perturbations=R.PERTURBATIONS,
+            frame_size=args.input_size,
         )
         print(json.dumps(results["perturbation"], indent=2), flush=True)
         return results
@@ -203,7 +216,8 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
                 sd = C.load_torch_state_dict(path)
                 p, _, _ = C.import_torch_params(sd, variables["params"])
             else:
-                p = C.restore_checkpoint(path, variables["params"])
+                raw = C.restore_checkpoint(path, None)
+                p = raw.get("params", raw) if isinstance(raw, dict) else raw
             members.append({"params": p})
         results["ensembles"] = E.evaluate_ensemble(
             model, stack_params(members), batches()
