@@ -143,6 +143,30 @@ def test_mc_dropout_vmapped_samples_differ_and_average():
     assert bool((h + 1e-6 >= mi).all())
 
 
+def test_mc_dropout_split_trunk():
+    """Split-trunk MC: [K, B, C] output, samples differ (tail dropout), and
+    trunk sharing is exact — with dropout only in later blocks the split
+    version must equal the full fold-into-batch version distributionally."""
+    model = VisionTransformer(cfg=TINY)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    fwd = make_mc_dropout_forward(model, num_samples=3, split_at=1)
+    lk = fwd(variables, x, jax.random.PRNGKey(2))
+    assert lk.shape == (3, 4, 5)
+    assert not np.allclose(np.asarray(lk[0]), np.asarray(lk[1]))
+    # deterministic per rng
+    lk2 = fwd(variables, x, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(lk), np.asarray(lk2), rtol=1e-5)
+    # split at depth with no tail dropout and deterministic head → all
+    # samples identical to the deterministic forward
+    det_model = VisionTransformer(cfg=TINY.replace(drop_rate=0.0))
+    fwd_det = make_mc_dropout_forward(det_model, num_samples=2, split_at=TINY.depth)
+    lk3 = fwd_det(variables, x, jax.random.PRNGKey(3))
+    ref = det_model.apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(lk3[0]), np.asarray(ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lk3[0]), np.asarray(lk3[1]), rtol=1e-5)
+
+
 def test_ensemble_forward():
     model = VisionTransformer(cfg=TINY.replace(drop_rate=0.0))
     x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))

@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,7 +46,15 @@ class ViTBackbone(nn.Module):
         images: jnp.ndarray,
         bool_masked_pos: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        mc_samples: int = 0,
+        mc_split: int = 0,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray], List[jnp.ndarray]]:
+        """mc_samples > 0 enables split-trunk MC-dropout: blocks [0, mc_split)
+        run once deterministically (shared activations), the batch is tiled K×
+        and blocks [mc_split, depth) run with dropout active. One compiled
+        program whose cost is fwd·(mc_split + K·(depth−mc_split))/depth — the
+        BASELINE.json 'shared-activation reuse' MC-dropout. Equivalent to
+        exact MC-dropout when the trunk blocks carry no active dropout."""
         cfg = self.cfg
         tn = trunc_normal(cfg.init_std, cfg.init_trunc_abs)
 
@@ -87,6 +96,9 @@ class ViTBackbone(nn.Module):
         layer_xs: List[jnp.ndarray] = []
         fc_features: List[jnp.ndarray] = []
         for i in range(cfg.depth):
+            if mc_samples > 0 and i == mc_split:
+                x = jnp.tile(x, (mc_samples, 1, 1))
+            block_deterministic = deterministic if mc_samples == 0 else (i < mc_split)
             x, fc = Block(
                 dim=cfg.embed_dim,
                 num_heads=cfg.num_heads,
@@ -109,10 +121,12 @@ class ViTBackbone(nn.Module):
                 use_flash=cfg.use_flash_attention,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, rel_pos_bias, deterministic)
+            )(x, rel_pos_bias, block_deterministic)
             layer_xs.append(x)
             fc_features.append(fc)
 
+        if mc_samples > 0 and mc_split >= cfg.depth:
+            x = jnp.tile(x, (mc_samples, 1, 1))
         return x, layer_xs, fc_features
 
 
@@ -135,8 +149,12 @@ class VisionTransformer(nn.Module):
         deterministic: bool = True,
         update_sngp_cov: bool = False,
         return_gp_cov: bool = False,
+        mc_samples: int = 0,
+        mc_split: int = 0,
     ):
         cfg = self.cfg
+        if mc_samples > 0:
+            assert not cfg.learn_layer_weights, "mc split incompatible with layer weights"
         x, layer_xs, _ = ViTBackbone(
             cfg=cfg,
             has_mask_token=cfg.has_masking,
@@ -144,10 +162,17 @@ class VisionTransformer(nn.Module):
             patch_embed_init="torch",
             dtype=self.dtype,
             name="backbone",
-        )(images, bool_masked_pos, deterministic)
+        )(images, bool_masked_pos, deterministic,
+          mc_samples=mc_samples, mc_split=mc_split)
 
         feat = self._pool(x, layer_xs, deterministic, update_sngp_cov)
-        return self._head(feat, update_sngp_cov, return_gp_cov)
+        out = self._head(feat, update_sngp_cov, return_gp_cov)
+        if mc_samples > 0:
+            b = images.shape[0]
+            out = jax.tree_util.tree_map(
+                lambda t: t.reshape(mc_samples, b, *t.shape[1:]), out
+            )
+        return out
 
     def _pool(self, x, layer_xs, deterministic, update_sngp_cov):
         cfg = self.cfg
