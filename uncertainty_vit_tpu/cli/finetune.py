@@ -86,6 +86,8 @@ def _aa_kwargs(args):
 
 def build_model(args, nb_classes):
     cfg = B.model_config_from_args(args, nb_classes)
+    if getattr(args, "masked_position_prob", 0.0) > 0:
+        cfg = cfg.replace(has_masking=True)
     dtype = B.compute_dtype(args)
     if args.stochastic:
         return DistVisionTransformer(cfg=cfg, dtype=dtype), cfg
