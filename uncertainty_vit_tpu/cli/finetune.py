@@ -55,6 +55,9 @@ def get_args_parser():
     g.add_argument("--model_ema", action="store_true")
     g.add_argument("--model_ema_decay", type=float, default=0.9999)
     g.add_argument("--masked_position_prob", type=float, default=0.0)
+    g.add_argument("--target_layer", type=int, default=-1,
+                   help="truncate blocks to [:N+1] (run_class_finetuning.py:520-522)")
+    g.add_argument("--remove_final_norm", action="store_true")
     g.add_argument("--lambda_finetuning", type=float, default=1e-4)
     g.add_argument("--lambda_pvn", type=float, default=1e-4)
     e = p.add_argument_group("evaluation")
@@ -88,6 +91,10 @@ def build_model(args, nb_classes):
     cfg = B.model_config_from_args(args, nb_classes)
     if getattr(args, "masked_position_prob", 0.0) > 0:
         cfg = cfg.replace(has_masking=True)
+    if getattr(args, "target_layer", -1) != -1 and not args.learn_layer_weights:
+        cfg = cfg.replace(depth=args.target_layer + 1)
+    if getattr(args, "remove_final_norm", False):
+        cfg = cfg.replace(remove_final_norm=True)
     dtype = B.compute_dtype(args)
     if args.stochastic:
         return DistVisionTransformer(cfg=cfg, dtype=dtype), cfg
@@ -117,11 +124,12 @@ def _eval_batches(loader, args):
         yield images, labels
 
 
-def load_variables(args, model, sample):
+def load_variables(args, model, sample, return_missing: bool = False):
     rngs = {"params": jax.random.PRNGKey(args.seed)}
     if args.het_layer:
         rngs["mc"] = jax.random.PRNGKey(args.seed + 1)
     variables = model.init(rngs, sample)
+    missing = []
     if args.finetune:
         if args.finetune.endswith((".pth", ".pt")):
             sd = C.load_torch_state_dict(args.finetune)
@@ -133,6 +141,9 @@ def load_variables(args, model, sample):
             restored = C.restore_checkpoint(args.finetune, None)
             src = restored.get("params", restored) if isinstance(restored, dict) else restored
             variables = dict(variables, params=src)
+            missing = ["head/kernel", "head/bias"]  # conservatively retrain the head
+    if return_missing:
+        return variables, missing
     return variables
 
 
@@ -260,9 +271,17 @@ def main(args):
     lr_schedule, wd_schedule, total = B.build_lr_schedules(args, steps_per_epoch)
 
     rng = jax.random.PRNGKey(args.seed)
-    variables = load_variables(args, model, sample)
+    variables, missing = load_variables(args, model, sample, return_missing=True)
     params = variables["params"]
     tx = B.build_optimizer(args, params, lr_schedule, wd_schedule, cfg.depth)
+    if args.linear_classifier and args.finetune:
+        # linear-probe freezing (run_class_finetuning.py:529-538): train only
+        # params the checkpoint did NOT provide (the fresh head)
+        from uncertainty_vit_tpu.train.optim import freeze_all_except
+
+        trainable = missing or ["head"]
+        print(f"linear probe: trainable params = {trainable}", flush=True)
+        tx = freeze_all_except(tx, params, trainable)
 
     mixup_active = args.mixup > 0 or args.cutmix > 0
     if args.stochastic:

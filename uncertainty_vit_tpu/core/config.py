@@ -49,8 +49,11 @@ class ViTConfig:
     use_mean_pooling: bool = True
     init_scale: float = 0.001
     # `linear_classifier` drops the affine params of fc_norm
-    # (modeling_finetune.py:412).
+    # (modeling_finetune.py:412); the CLI additionally freezes imported
+    # params (run_class_finetuning.py:529-538).
     linear_classifier: bool = False
+    # replace final norm/fc_norm with identity (run_class_finetuning.py:524-527)
+    remove_final_norm: bool = False
     # Learnable mask token for on-the-fly masking during finetune
     # (modeling_finetune.py:387-388).
     has_masking: bool = False

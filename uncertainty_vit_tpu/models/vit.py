@@ -196,6 +196,9 @@ class VisionTransformer(nn.Module):
 
         if cfg.use_mean_pooling:
             t = x[:, 1:, :].mean(axis=1)
+            if cfg.remove_final_norm:
+                # fc_norm → Identity (run_class_finetuning.py:524-527)
+                return t
             if cfg.sngp_fc_norm:
                 # spectral_norm(BertLinear) replaces fc_norm under --sngp
                 # (modeling_finetune.py:413-414).
@@ -209,8 +212,10 @@ class VisionTransformer(nn.Module):
                 use_bias=not cfg.linear_classifier,
                 use_scale=not cfg.linear_classifier,
                 name="fc_norm",
-            )(x[:, 1:, :].mean(axis=1))
+            )(t)
         # cls-token head: final norm then cls (modeling_finetune.py:411, 517).
+        if cfg.remove_final_norm:
+            return x[:, 0]
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="norm")(x)
         return x[:, 0]
 

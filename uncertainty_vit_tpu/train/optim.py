@@ -163,6 +163,34 @@ def make_optimizer(
     return tx
 
 
+def freeze_all_except(
+    tx: optax.GradientTransformation, params: Any, trainable_paths: Sequence[str]
+) -> optax.GradientTransformation:
+    """Linear-probe freezing (run_class_finetuning.py:529-538): zero updates
+    for every parameter except those whose '/'-joined path contains one of
+    `trainable_paths` (typically the head that was dropped on import)."""
+
+    def mask(path, leaf):
+        flat = "/".join(str(p.key) for p in path)
+        return any(t in flat for t in trainable_paths)
+
+    trainable = jax.tree_util.tree_map_with_path(mask, params)
+
+    def init(params_):
+        return tx.init(params_)
+
+    def update(updates, state, params_=None):
+        updates, state = tx.update(updates, state, params_)
+        # zero the FINAL update (after lr/wd) — equivalent to the reference's
+        # requires_grad_(False) exclusion incl. no weight decay on frozen
+        updates = jax.tree_util.tree_map(
+            lambda u, m: u if m else jnp.zeros_like(u), updates, trainable
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
 def global_norm(tree: Any) -> jnp.ndarray:
     """Reference get_grad_norm_ (utils.py:392-405): global L2 norm."""
     leaves = jax.tree_util.tree_leaves(tree)
