@@ -35,6 +35,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _LANE = 128
+# Set True (tests) to run the kernels in the Pallas interpreter — gives the
+# kernel code path CPU coverage where the suite runs.
+INTERPRET = False
 # VMEM budget per program for the bias block + live score/prob tiles; the
 # chip has ~16MB of VMEM and Mosaic double-buffers blocks.
 _VMEM_BUDGET = 6 * 1024 * 1024
@@ -206,6 +209,7 @@ def _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate):
     return pl.pallas_call(
         functools.partial(kernel, scale=scale, dropout_rate=dropout_rate,
                           group=group, head_dim=head_dim, num_groups=num_groups),
+        interpret=INTERPRET,
         grid=(b, num_groups),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -262,6 +266,7 @@ def _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate):
     outs = pl.pallas_call(
         functools.partial(kernel, scale=scale, dropout_rate=dropout_rate,
                           group=group, head_dim=head_dim, num_groups=num_groups),
+        interpret=INTERPRET,
         grid=(num_groups, b),
         in_specs=in_specs,
         out_specs=out_specs,
