@@ -19,6 +19,10 @@ A100_CLASS_IMG_PER_SEC = 850.0
 
 
 def main():
+    from uncertainty_vit_tpu.cli.common import setup_jax
+
+    setup_jax()  # persistent compilation cache across driver runs
+
     import jax
     import jax.numpy as jnp
 
