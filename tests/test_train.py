@@ -204,3 +204,32 @@ def test_multidevice_data_parallel_step():
     state1 = init_cyclical_state(model, tx, jax.random.PRNGKey(0), images, mask)
     _, metrics1 = step(state1, images, mask, jax.random.PRNGKey(5))
     np.testing.assert_allclose(float(metrics["loss"]), float(metrics1["loss"]), rtol=1e-4)
+
+
+def test_tensor_parallel_sharding_parity():
+    """TP-sharded params (Megatron PartitionSpecs over the 'model' axis) must
+    produce the same train-step loss as the replicated layout."""
+    mesh = pmesh.create_mesh(8, model_parallel=4)
+    model = CyclicalViT(cfg=TINY)
+    hp = CyclicalHParams(target_layers=(0, 1))
+    lr = schedules.constant_schedule(1e-3)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    mask = jnp.zeros((8, TINY.num_patches)).at[:, 1].set(1.0)
+
+    tx = make_optimizer(model.init(jax.random.PRNGKey(0), images, mask)["params"], lr)
+    state = init_cyclical_state(model, tx, jax.random.PRNGKey(0), images, mask)
+    step = make_cyclical_train_step(model, tx, hp, lr, donate=False)
+    _, ref_metrics = step(state, images, mask, jax.random.PRNGKey(5))
+
+    shardings = pmesh.param_shardings(state.params, mesh, tensor_parallel=True)
+    # heads(2)·head_dim(8)=16 channels over model axis 4 → 4 per shard: valid
+    tp_state = state.replace(
+        params=jax.tree_util.tree_map(jax.device_put, state.params, shardings),
+        ema_params=jax.tree_util.tree_map(jax.device_put, state.ema_params, shardings),
+    )
+    tp_images = pmesh.shard_batch(images, mesh)
+    tp_mask = pmesh.shard_batch(mask, mesh)
+    _, tp_metrics = step(tp_state, tp_images, tp_mask, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(
+        float(tp_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
+    )
