@@ -8,7 +8,6 @@ import argparse
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from uncertainty_vit_tpu.cli import builders as B
 from uncertainty_vit_tpu.cli.common import setup_jax
@@ -16,8 +15,7 @@ from uncertainty_vit_tpu.models.dvae import DiscreteVAE
 from uncertainty_vit_tpu.models.mim import MIMViT
 from uncertainty_vit_tpu.ops.augment import (
     IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD, IMAGENET_INCEPTION_MEAN,
-    IMAGENET_INCEPTION_STD, from_planar, normalize, random_hflip_batch,
-    random_resized_crop_two_pic, to_planar,
+    IMAGENET_INCEPTION_STD, normalize, random_resized_crop_two_pic,
 )
 from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask
 from uncertainty_vit_tpu.train.engine_mim import MIMState, make_mim_train_step

@@ -18,7 +18,7 @@ so `cfg.replace(drop_path_rate=0.0)` reproduces `model.eval()` +
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

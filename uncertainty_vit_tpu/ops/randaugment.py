@@ -21,8 +21,6 @@ is a batched TPU implementation over planar [B, C, H, W] float images in
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

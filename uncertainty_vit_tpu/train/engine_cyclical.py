@@ -11,7 +11,6 @@ from the data-sharded batch.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.struct
