@@ -22,6 +22,21 @@ import jax.numpy as jnp
 Dtype = Any
 
 
+DALLE_LOGIT_LAPLACE_EPS = 0.1
+
+
+def map_pixels(x: jnp.ndarray) -> jnp.ndarray:
+    """DALL-E input mapping (1−2ε)·x + ε (the external dall_e.map_pixels the
+    reference applies to the tokenizer view, datasets.py:86-102)."""
+    return (1.0 - 2.0 * DALLE_LOGIT_LAPLACE_EPS) * x + DALLE_LOGIT_LAPLACE_EPS
+
+
+def unmap_pixels(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(
+        (x - DALLE_LOGIT_LAPLACE_EPS) / (1.0 - 2.0 * DALLE_LOGIT_LAPLACE_EPS), 0.0, 1.0
+    )
+
+
 class ResBlock(nn.Module):
     hidden: int
     out: int
