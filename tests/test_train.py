@@ -233,3 +233,38 @@ def test_tensor_parallel_sharding_parity():
     np.testing.assert_allclose(
         float(tp_metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-4
     )
+
+
+def test_grad_accumulation_matches_full_batch():
+    """update_freq=2 over two half-batches must match one full-batch step
+    (optax.MultiSteps semantics vs the reference's update_freq,
+    engine_for_finetuning.py:66, 120-127)."""
+    model = VisionTransformer(cfg=TINY)
+    hp = FinetuneHParams(num_classes=5, mixup_active=False, label_smoothing=0.0,
+                         num_patches=TINY.num_patches)
+    lr = schedules.constant_schedule(1e-3)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 5
+    params = model.init(jax.random.PRNGKey(0), images)["params"]
+
+    import dataclasses as _dc
+
+    # full batch, no accumulation
+    tx_full = make_optimizer(params, lr, weight_decay=0.0)
+    state_f = init_finetune_state(model, tx_full, jax.random.PRNGKey(0), images)
+    step_f = make_finetune_train_step(model, tx_full, hp, lr)
+    state_f, _ = step_f(state_f, images, labels, jax.random.PRNGKey(9))
+
+    # two half batches with accum_steps=2
+    tx_acc = make_optimizer(params, lr, weight_decay=0.0, accum_steps=2)
+    state_a = init_finetune_state(model, tx_acc, jax.random.PRNGKey(0), images)
+    step_a = make_finetune_train_step(model, tx_acc, hp, lr)
+    # identical per-microbatch rngs don't matter here (deterministic path:
+    # no dropout/droppath in TINY)
+    state_a, _ = step_a(state_a, images[:4], labels[:4], jax.random.PRNGKey(9))
+    state_a, _ = step_a(state_a, images[4:], labels[4:], jax.random.PRNGKey(9))
+
+    pf = jax.tree_util.tree_leaves(state_f.params)
+    pa = jax.tree_util.tree_leaves(state_a.params)
+    for a, b in zip(pf, pa):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-6)
