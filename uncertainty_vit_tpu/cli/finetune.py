@@ -21,6 +21,7 @@ import numpy as np
 
 from uncertainty_vit_tpu.cli import builders as B
 from uncertainty_vit_tpu.cli.common import setup_jax
+from uncertainty_vit_tpu.data.pipeline import device_prefetch
 from uncertainty_vit_tpu.data import datasets as D
 from uncertainty_vit_tpu.evals import classification as E
 from uncertainty_vit_tpu.evals import robustness as R
@@ -324,7 +325,7 @@ def main(args):
         train_loader.set_epoch(epoch)
         logger = MetricLogger()
         data_rng = jax.random.fold_in(rng, epoch)
-        for step, batch in enumerate(logger.log_every(train_loader, 10, f"Epoch: [{epoch}]")):
+        for step, batch in enumerate(logger.log_every(device_prefetch(train_loader), 10, f"Epoch: [{epoch}]")):
             if step >= steps_per_epoch:
                 break
             akey = jax.random.fold_in(data_rng, step)

@@ -21,6 +21,7 @@ import numpy as np
 
 from uncertainty_vit_tpu.cli import builders as B
 from uncertainty_vit_tpu.cli.common import setup_jax
+from uncertainty_vit_tpu.data.pipeline import device_prefetch
 from uncertainty_vit_tpu.models.cyclical import CyclicalViT
 from uncertainty_vit_tpu.models.dist_vit import DistCyclicalViT
 from uncertainty_vit_tpu.ops.augment import pretrain_augment_batch
@@ -130,7 +131,7 @@ def main(args):
         logger = MetricLogger()
         data_rng = jax.random.fold_in(rng, epoch)
         for step, batch in enumerate(
-            logger.log_every(loader, 10, f"Epoch: [{epoch}]")
+            logger.log_every(device_prefetch(loader), 10, f"Epoch: [{epoch}]")
         ):
             if step >= steps_per_epoch:
                 break

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from uncertainty_vit_tpu.cli import builders as B
 from uncertainty_vit_tpu.cli.common import setup_jax
+from uncertainty_vit_tpu.data.pipeline import device_prefetch
 from uncertainty_vit_tpu.cli.pretrain_beit import two_view_batch
 from uncertainty_vit_tpu.models.dvae import DiscreteVAE
 from uncertainty_vit_tpu.models.mim import JointViT
@@ -105,7 +106,7 @@ def main(args):
         loader.set_epoch(epoch)
         logger = MetricLogger()
         data_rng = jax.random.fold_in(rng, epoch)
-        for step, batch in enumerate(logger.log_every(loader, 10, f"Epoch: [{epoch}]")):
+        for step, batch in enumerate(logger.log_every(device_prefetch(loader), 10, f"Epoch: [{epoch}]")):
             if step >= steps_per_epoch:
                 break
             akey = jax.random.fold_in(data_rng, step)

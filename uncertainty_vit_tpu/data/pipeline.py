@@ -129,3 +129,38 @@ class BatchLoader:
                     return
         finally:
             stop.set()
+
+
+class device_prefetch:
+    """Overlap host→device transfers with compute: device_put is async, so
+    dispatching the next batch's transfer before yielding the current one
+    hides the H2D copy behind the train step (the reference relies on
+    pin_memory + non_blocking H2D for the same effect, run_cyclical.py:58-60).
+    Preserves len() of the wrapped loader for ETA reporting."""
+
+    def __init__(self, iterable, size: int = 2):
+        self.iterable = iterable
+        self.size = size
+
+    def __len__(self):
+        return len(self.iterable)
+
+    def __iter__(self):
+        import collections
+
+        import jax
+        import jax.numpy as jnp
+
+        buf = collections.deque()
+
+        def put(item):
+            return jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, item
+            )
+
+        for item in self.iterable:
+            buf.append(put(item))
+            if len(buf) >= self.size:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
