@@ -80,11 +80,16 @@ def _dropout_mask(shape, rate: float):
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
 
 
-def _attend_one_head(q, k, v, bias, dropout_rate: float):
-    """[N, D] slabs → (out [N, D] f32, probs, probs_dropped, mask)."""
+def _attend_one_head(q, k, v, bias, dropout_rate: float, scale: float = 1.0):
+    """[N, D] slabs → (out [N, D] f32, probs, probs_dropped, mask).
+
+    q/k stay in the input dtype (bf16 on the hot path) — the MXU takes bf16
+    inputs with f32 accumulation natively, while f32 inputs fall back to the
+    slow multi-pass path. The softmax scale applies to the f32 scores
+    (mathematically identical to scaling q)."""
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    ) * scale
     if bias is not None:
         scores = scores + bias
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -109,11 +114,11 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         pltpu.prng_seed(seed_ref[0] + b_idx * num_groups + g_idx)
     for i in range(group):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        q = q_ref[0][:, sl].astype(jnp.float32) * scale
-        k = k_ref[0][:, sl].astype(jnp.float32)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
         bias = bias_ref[i].astype(jnp.float32) if bias_ref is not None else None
-        out, _, _, _ = _attend_one_head(q, k, v, bias, dropout_rate)
+        out, _, _, _ = _attend_one_head(q, k, v, bias, dropout_rate, scale)
         o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
 
@@ -135,13 +140,13 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
 
     for i in range(group):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        q = q_ref[0][:, sl].astype(jnp.float32) * scale
-        k32 = k_ref[0][:, sl].astype(jnp.float32)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
         g = g_ref[0][:, sl]
         bias = bias_ref[i].astype(jnp.float32) if bias_ref is not None else None
 
-        _, probs, probs_dropped, mask = _attend_one_head(q, k32, v, bias, dropout_rate)
+        _, probs, probs_dropped, mask = _attend_one_head(q, k, v, bias, dropout_rate, scale)
 
         dv = jax.lax.dot_general(
             probs_dropped.astype(g.dtype), g, (((0,), (0,)), ((), ())),
@@ -155,9 +160,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
         ds_c = ds.astype(q_ref.dtype)
 
-        dq = jnp.dot(ds_c, k_ref[0][:, sl], preferred_element_type=jnp.float32) * scale
+        dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
         dk = jax.lax.dot_general(
-            ds_c, (q_ref[0][:, sl]), (((0,), (0,)), ((), ())),
+            ds_c, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
 
