@@ -51,6 +51,9 @@ def get_args_parser():
     g.add_argument("--ema_decay", type=float, default=0.9998)
     g.add_argument("--ema_decay_init", type=float, default=0.999)
     g.add_argument("--ema_start_at", type=int, default=0)
+    g.add_argument("--ema_annealing_till_end", action="store_true",
+                   help="anneal the EMA decay over the whole run "
+                        "(run_cyclical.py:580-582)")
     g.add_argument("--start_lr_decay_at_step", type=int, default=-1)
     g.add_argument("--target_layer_norm_last", default=True, type=ast.literal_eval)
     g.add_argument("--target_batch_norm", action="store_true")
@@ -72,6 +75,12 @@ def main(args):
     model_cls = DistCyclicalViT if args.stochastic else CyclicalViT
     model = model_cls(cfg=cfg, dtype=dtype)
 
+    ema_start_at = args.ema_start_at
+    if args.ema_annealing_till_end:
+        # linear decay warmup stretched over the whole run (run_cyclical.py:580-582)
+        ema_start_at = args.epochs * steps_per_epoch
+        print("EMA annealing till the end activated", flush=True)
+
     hp = CyclicalHParams(
         target_layers=tuple(ast.literal_eval(args.target_layers)),
         layer_results=args.layer_results,
@@ -88,7 +97,7 @@ def main(args):
         post_target_layer_norm=args.post_target_layer_norm,
         ema_decay=args.ema_decay,
         ema_decay_init=args.ema_decay_init,
-        ema_start_at=args.ema_start_at,
+        ema_start_at=ema_start_at,
         start_lr_decay_at_step=args.start_lr_decay_at_step,
         stochastic=args.stochastic,
         lambda_pretraining=args.lambda_pretraining,
