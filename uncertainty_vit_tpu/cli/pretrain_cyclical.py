@@ -55,6 +55,9 @@ def get_args_parser():
                    help="anneal the EMA decay over the whole run "
                         "(run_cyclical.py:580-582)")
     g.add_argument("--start_lr_decay_at_step", type=int, default=-1)
+    g.add_argument("--skip_ema_during_lr_decay_for_tri", action="store_true",
+                   help="freeze the EMA teacher once the tri-phase decay "
+                        "starts (run_cyclical.py:537-539)")
     g.add_argument("--target_layer_norm_last", default=True, type=ast.literal_eval)
     g.add_argument("--target_batch_norm", action="store_true")
     g.add_argument("--target_instance_norm", action="store_true")
@@ -74,6 +77,14 @@ def main(args):
     dtype = B.compute_dtype(args)
     model_cls = DistCyclicalViT if args.stochastic else CyclicalViT
     model = model_cls(cfg=cfg, dtype=dtype)
+
+    start_lr_decay_at_step = args.start_lr_decay_at_step
+    if args.tri_phase_schedule and args.skip_ema_during_lr_decay_for_tri:
+        import ast as _ast
+
+        _, decay_perc = _ast.literal_eval(args.tri_phase_schedule)
+        start_lr_decay_at_step = int((1 - decay_perc) * args.epochs * steps_per_epoch)
+        print(f"ema will be skipped after {start_lr_decay_at_step} updates", flush=True)
 
     ema_start_at = args.ema_start_at
     if args.ema_annealing_till_end:
@@ -98,7 +109,7 @@ def main(args):
         ema_decay=args.ema_decay,
         ema_decay_init=args.ema_decay_init,
         ema_start_at=ema_start_at,
-        start_lr_decay_at_step=args.start_lr_decay_at_step,
+        start_lr_decay_at_step=start_lr_decay_at_step,
         stochastic=args.stochastic,
         lambda_pretraining=args.lambda_pretraining,
     )
