@@ -196,7 +196,7 @@ class ImageFolder:
                 idx = random.randrange(len(self.samples))
         raise RuntimeError(f"too many corrupt images near {path}")
 
-    def native_batch_decode(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+    def native_batch_decode(self, indices, num_threads: int = 8) -> Tuple[np.ndarray, np.ndarray]:
         """GIL-free batched JPEG decode via the C++ runtime (utils/native.py);
         non-JPEG or corrupt files fall back to PIL / random resampling
         (dataset_folder.py:164-171 semantics). Requires decode_size."""
@@ -213,7 +213,7 @@ class ImageFolder:
         if native.available() and any(jpeg_mask):
             jpeg_pos = [i for i, m in enumerate(jpeg_mask) if m]
             batch, good = native.decode_jpeg_batch(
-                [paths[i] for i in jpeg_pos], self.decode_size
+                [paths[i] for i in jpeg_pos], self.decode_size, num_threads
             )
             for j, pos in enumerate(jpeg_pos):
                 if good[j]:

@@ -67,7 +67,9 @@ class BatchLoader:
         if hasattr(self.dataset, "native_batch_decode") and getattr(
             self.dataset, "decode_size", None
         ):
-            return self.dataset.native_batch_decode(batch_idx)
+            return self.dataset.native_batch_decode(
+                batch_idx, num_threads=max(self.num_workers, 1)
+            )
 
         items = [self.dataset[int(i)] for i in batch_idx]
         cols = list(zip(*items))
