@@ -121,3 +121,94 @@ def test_distributed_helpers():
     rank = init_distributed_mode(suppress_output=False)
     assert rank == 0 and is_main_process()
     assert save_on_master(lambda: 42) == 42
+
+
+def test_cli_eval_corrupted_mc_dropout(cifar_root, tmp_path, monkeypatch):
+    """mc_dropout_c_evaluate wiring (uncertainty_evaluations.py:479-534);
+    the MC model must be rebuilt with drop_path_rate=0."""
+    import uncertainty_vit_tpu.evals.robustness as R
+
+    monkeypatch.setattr(R, "DISTORTIONS", ("fog",))
+    args = FT.get_args_parser().parse_args(flags(cifar_root, str(tmp_path / "cmc"), (
+        "--eval", "--corrupted_data", "--mc_dropout", "--mc_dropout_forwards", "2",
+        "--drop", "0.1", "--drop_path", "0.1",
+        "--corruption_data_path", os.path.join(cifar_root, "cifar-100-c"),
+    )))
+    results = FT.main(args)
+    assert "fog" in results["corruption"]["per_distortion"]
+
+
+def test_cli_eval_corrupted_ensembles(cifar_root, tmp_path, monkeypatch):
+    """ensembles_c_evaluate wiring (uncertainty_evaluations.py:393-476)."""
+    import uncertainty_vit_tpu.evals.robustness as R
+
+    members = []
+    for i in range(2):
+        out = str(tmp_path / f"cm{i}")
+        args = FT.get_args_parser().parse_args(flags(cifar_root, out, (
+            "--steps_per_epoch", "1", "--mixup", "0.0", "--cutmix", "0.0",
+            "--seed", str(i), "--save_ckpt_freq", "1",
+        )))
+        FT.main(args)
+        members.append(os.path.join(out, "checkpoint-0"))
+
+    monkeypatch.setattr(R, "DISTORTIONS", ("fog",))
+    args = FT.get_args_parser().parse_args(flags(cifar_root, str(tmp_path / "cens"), (
+        "--eval", "--corrupted_data", "--ensembles",
+        "--ensemble_checkpoints", *members,
+        "--corruption_data_path", os.path.join(cifar_root, "cifar-100-c"),
+    )))
+    results = FT.main(args)
+    assert "fog" in results["corruption"]["per_distortion"]
+
+
+def test_cli_eval_perturbed_mc_dropout(cifar_root, tmp_path, monkeypatch):
+    """mc_dropout_p_evaluate wiring (uncertainty_evaluations.py:661-720)."""
+    import uncertainty_vit_tpu.evals.robustness as R
+
+    monkeypatch.setattr(R, "PERTURBATIONS", ("rotate",))
+    args = FT.get_args_parser().parse_args(flags(cifar_root, str(tmp_path / "pmc"), (
+        "--eval", "--perturbed_data", "--mc_dropout", "--mc_dropout_forwards", "2",
+        "--drop", "0.1",
+        "--perturbation_data_path", os.path.join(cifar_root, "cifar-100-p"),
+    )))
+    results = FT.main(args)
+    assert "rotate" in results["perturbation"]["per_perturbation"]
+
+
+def test_cli_sngp_exact_accumulation_resets_per_epoch(cifar_root, tmp_path, monkeypatch):
+    """--sngp_cov_momentum <= 0: reset_cov fires at the start of every epoch
+    (modeling_finetune.py:596-616) and exact accumulation sums phi^T phi."""
+    import uncertainty_vit_tpu.models.registry as REG
+
+    calls = []
+    real_reset = REG.sngp_reset_cov
+    monkeypatch.setattr(
+        REG, "sngp_reset_cov",
+        lambda st, ridge: (calls.append(ridge), real_reset(st, ridge))[1],
+    )
+    args = FT.get_args_parser().parse_args(flags(cifar_root, str(tmp_path / "sx"), (
+        "--sngp", "--gp_layer", "--sngp_cov_momentum", "-1",
+        "--steps_per_epoch", "1", "--mixup", "0.0", "--cutmix", "0.0",
+    )))
+    args.epochs = 2
+    state = FT.main(args)
+    assert len(calls) == 2  # one reset per epoch
+
+    import jax
+    prec = np.asarray([
+        l for l in jax.tree_util.tree_leaves(state.sngp_state)
+        if getattr(l, "ndim", 0) == 2 and l.shape[0] == l.shape[1]
+    ][0])
+    # after the final reset + one exact phi^T phi step the diagonal exceeds
+    # the ridge floor (phi columns have nonzero squared sums)
+    assert float(np.min(np.diag(prec))) > 1e-3
+
+    # momentum > 0 (default): no reset is issued
+    calls.clear()
+    args2 = FT.get_args_parser().parse_args(flags(cifar_root, str(tmp_path / "sm"), (
+        "--sngp", "--gp_layer",
+        "--steps_per_epoch", "1", "--mixup", "0.0", "--cutmix", "0.0",
+    )))
+    FT.main(args2)
+    assert calls == []

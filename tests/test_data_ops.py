@@ -198,3 +198,45 @@ def test_one_hot_smooth_matches_timm():
     expected = np.full(5, 0.1 / 5)
     expected[2] = 1 - 0.1 + 0.1 / 5
     np.testing.assert_allclose(t, expected, rtol=1e-6)
+
+
+def test_two_view_batch_same_region_and_vae_types():
+    """Batched two-pic path (pretrain_two_view_batch): the tokenizer view is
+    the SAME crop region as the student view, per sample, in one jitted
+    program; discrete_vae_type selects the tokenizer-view mapping
+    (datasets.py:86-102)."""
+    yy, xx = np.mgrid[0:64, 0:64] / 64.0
+    base = np.stack([yy, xx, (yy + xx) / 2], -1).astype(np.float32)
+    imgs_u8 = np.stack([
+        np.clip(base * (0.5 + 0.1 * i) * 255, 0, 255).astype(np.uint8)
+        for i in range(4)
+    ])
+    first, second = A.pretrain_two_view_batch(
+        jax.random.PRNGKey(3), jnp.asarray(imgs_u8), out_size=32, second_size=16,
+        color_jitter_strength=0.0, discrete_vae_type="none",
+    )
+    assert first.shape == (4, 32, 32, 3) and second.shape == (4, 16, 16, 3)
+    # undo the student normalization, downsample, compare per sample
+    mean = jnp.asarray(A.IMAGENET_DEFAULT_MEAN)
+    std = jnp.asarray(A.IMAGENET_DEFAULT_STD)
+    first_raw = first * std + mean
+    for i in range(4):
+        a_small = jax.image.resize(first_raw[i], (16, 16, 3), method="cubic")
+        assert float(jnp.abs(a_small - second[i]).mean()) < 0.06, i
+
+    # dall-e mapping: second ∈ [eps, 1-eps] via map_pixels
+    _, sec_de = A.pretrain_two_view_batch(
+        jax.random.PRNGKey(3), jnp.asarray(imgs_u8), out_size=32, second_size=16,
+        color_jitter_strength=0.0, discrete_vae_type="dall-e",
+    )
+    from uncertainty_vit_tpu.models.dvae import map_pixels
+    np.testing.assert_allclose(np.asarray(sec_de), np.asarray(map_pixels(second)),
+                               rtol=1e-6, atol=1e-6)
+
+    # customized: Inception-normalized (range roughly [-1, 1])
+    _, sec_cu = A.pretrain_two_view_batch(
+        jax.random.PRNGKey(3), jnp.asarray(imgs_u8), out_size=32, second_size=16,
+        color_jitter_strength=0.0, discrete_vae_type="customized",
+    )
+    np.testing.assert_allclose(np.asarray(sec_cu), np.asarray(second) * 2.0 - 1.0,
+                               rtol=1e-5, atol=1e-5)

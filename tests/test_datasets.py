@@ -152,3 +152,70 @@ def test_triplet_batching(cifar_root):
     img, pos, neg, labels = next(iter(loader))
     assert img.shape == pos.shape == neg.shape == (8, 32, 32, 3)
     assert labels.shape == (8,)
+
+
+def test_batch_loader_multihost_padding(cifar_root):
+    """num_hosts=4 (and a non-divisible 3-host case): every sample is covered,
+    shards are equal-length, and overlap is only the DistributedSampler-style
+    pad (run_cyclical.py:474-476 semantics)."""
+    ds = D.load_cifar(cifar_root, cifar100=True, train=True)  # n=200
+    for hosts in (4, 3):
+        shards = [
+            BatchLoader(ds, 16, shuffle=False, num_workers=0,
+                        host_id=h, num_hosts=hosts)._indices()
+            for h in range(hosts)
+        ]
+        per_host = -(-200 // hosts)
+        assert all(len(s) == per_host for s in shards)
+        union = set()
+        total = 0
+        for s in shards:
+            union |= set(s.tolist())
+            total += len(s)
+        assert union == set(range(200))        # full coverage
+        assert total == per_host * hosts       # only pad duplicates
+    # shuffled shards stay disjoint-modulo-pad and consistent across hosts
+    sh = [
+        BatchLoader(ds, 16, shuffle=True, seed=7, num_workers=0,
+                    host_id=h, num_hosts=4)._indices()
+        for h in range(4)
+    ]
+    assert set(np.concatenate(sh).tolist()) == set(range(200))
+
+
+def test_tiny_imagenet_c_wnids_fallbacks(tmp_path):
+    """TIN-C distributions don't ship wnids.txt at the corruption root
+    (reference hard-codes a sibling dir, tin.py:175-176): the loader must
+    find a sibling clean TinyImageNet wnids.txt or derive ids from the
+    severity directory listing."""
+    rs = np.random.RandomState(0)
+    wnids = ["n01443537", "n01629819", "n01641577"]
+    croot = tmp_path / "tiny-imagenet-c"
+    for wnid in wnids:
+        d = croot / "gaussian_noise" / "1" / wnid
+        d.mkdir(parents=True)
+        for i in range(2):
+            arr = rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"img_{i}.JPEG")
+
+    # no wnids.txt anywhere: derive from the severity dir listing
+    ds = D.TinyImageNetC(str(croot), "gaussian_noise", 1)
+    assert len(ds) == 6
+    assert ds.classes == sorted(wnids)
+
+    # sibling clean TinyImageNet dir provides wnids.txt (reverse order file
+    # must not change the sorted class ids)
+    sib = tmp_path / "tiny-imagenet-200"
+    sib.mkdir()
+    (sib / "wnids.txt").write_text("\n".join(reversed(wnids)) + "\n")
+    ds2 = D.TinyImageNetC(str(croot), "gaussian_noise", 1)
+    assert ds2.classes == sorted(wnids)
+    np.testing.assert_array_equal(ds.labels, ds2.labels)
+
+    # explicit path wins; missing explicit path raises
+    ds3 = D.TinyImageNetC(str(croot), "gaussian_noise", 1,
+                          wnids_path=str(sib / "wnids.txt"))
+    assert ds3.classes == sorted(wnids)
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        D.TinyImageNetC(str(croot), "gaussian_noise", 1, wnids_path="/nope.txt")

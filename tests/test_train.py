@@ -268,3 +268,53 @@ def test_grad_accumulation_matches_full_batch():
     pa = jax.tree_util.tree_leaves(state_a.params)
     for a, b in zip(pf, pa):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-6)
+
+
+def test_schedule_horizon_with_update_freq():
+    """With --update_freq 2, the LR schedule must be built over OPTIMIZER
+    updates (epochs*steps_per_epoch // 2), not mini-batches: MultiSteps only
+    advances the inner scale_by_schedule counter once per update_freq
+    mini-steps, so a mini-batch horizon would traverse only half the decay
+    (reference indexes schedules per update, run_class_finetuning.py:556-562)."""
+    import argparse
+
+    from uncertainty_vit_tpu.cli.builders import build_lr_schedules
+
+    args = argparse.Namespace(
+        epochs=4, warmup_epochs=0, warmup_steps=-1, lr=1e-3, min_lr=1e-5,
+        warmup_lr=0.0, tri_phase_schedule=None, weight_decay=0.05,
+        weight_decay_end=None, update_freq=2,
+    )
+    steps_per_epoch = 10
+    lr, _, total = build_lr_schedules(args, steps_per_epoch)
+    assert total == 4 * 10 // 2
+    # the last optimizer update must sit at (or past) min_lr
+    assert float(lr(total - 1)) < 1e-3 * 0.05
+    np.testing.assert_allclose(float(lr(total)), 1e-5, rtol=1e-6)
+
+    # end-to-end: a decaying schedule under accum_steps=2 must match the
+    # no-accum optimizer stepping through the same schedule values
+    model = VisionTransformer(cfg=TINY)
+    hp = FinetuneHParams(num_classes=5, mixup_active=False, label_smoothing=0.0,
+                         num_patches=TINY.num_patches)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 5
+    params = model.init(jax.random.PRNGKey(0), images)["params"]
+
+    tx_full = make_optimizer(params, lr, weight_decay=0.0)
+    state_f = init_finetune_state(model, tx_full, jax.random.PRNGKey(0), images)
+    step_f = make_finetune_train_step(model, tx_full, hp, lr)
+    for _ in range(2):
+        state_f, _ = step_f(state_f, images, labels, jax.random.PRNGKey(9))
+
+    tx_acc = make_optimizer(params, lr, weight_decay=0.0, accum_steps=2)
+    state_a = init_finetune_state(model, tx_acc, jax.random.PRNGKey(0), images)
+    step_a = make_finetune_train_step(model, tx_acc, hp, lr)
+    for _ in range(2):
+        state_a, _ = step_a(state_a, images[:4], labels[:4], jax.random.PRNGKey(9))
+        state_a, _ = step_a(state_a, images[4:], labels[4:], jax.random.PRNGKey(9))
+
+    pf = jax.tree_util.tree_leaves(state_f.params)
+    pa = jax.tree_util.tree_leaves(state_a.params)
+    for a, b in zip(pf, pa):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-6)

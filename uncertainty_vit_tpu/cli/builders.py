@@ -30,14 +30,21 @@ def add_model_args(p: argparse.ArgumentParser):
     g.add_argument("--attn_drop_rate", type=float, default=0.0)
     g.add_argument("--drop_path", type=float, default=0.1)
     g.add_argument("--layer_scale_init_value", default=0.1, type=float)
-    g.add_argument("--rel_pos_bias", action="store_true", default=False)
-    g.add_argument("--shared_rel_pos_bias", action="store_true", default=True)
-    g.add_argument("--abs_pos_emb", action="store_true", default=True)
+    # boolean literals (True/False) so every combination is expressible —
+    # e.g. rel-pos-bias with abs_pos_emb simultaneously, or shared table off
+    # (the reference allows all of these; store_true with default=True can't)
+    g.add_argument("--rel_pos_bias", default=False, type=ast.literal_eval)
+    g.add_argument("--shared_rel_pos_bias", default=True, type=ast.literal_eval)
+    g.add_argument("--abs_pos_emb", default=True, type=ast.literal_eval)
     g.add_argument("--sinkformer", action="store_true")
     g.add_argument("--gumbel_softmax", action="store_true")
     g.add_argument("--h_sto_trans", action="store_true")
     g.add_argument("--sngp", action="store_true")
     g.add_argument("--gp_layer", action="store_true")
+    g.add_argument("--sngp_cov_momentum", type=float, default=0.999,
+                   help="GP precision-matrix momentum (modeling_finetune.py:536); "
+                        "<= 0 switches to exact accumulation with a per-epoch "
+                        "reset (reset_cov, modeling_finetune.py:596-616)")
     g.add_argument("--het_layer", action="store_true")
     g.add_argument("--stochastic", action="store_true",
                    help="use the dist (mean+covariance) model family")
@@ -79,9 +86,11 @@ def add_data_args(p: argparse.ArgumentParser):
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--imagenet_default_mean_and_std", default=True, type=ast.literal_eval)
     g.add_argument("--color_jitter", type=float, default=0.4)
-    g.add_argument("--aa", type=str, default=None,
+    # RandAugment ON by default, matching run_class_finetuning.py:117
+    g.add_argument("--aa", type=str, default="rand-m9-mstd0.5-inc1",
                    help="'rand-m9-mstd0.5-inc1'-style RandAugment policy "
-                        "(on-device; disables color jitter like timm)")
+                        "(on-device; disables color jitter like timm); "
+                        "pass 'None' to turn off")
     g.add_argument("--aug_level", type=int, default=-1)
     g.add_argument("--reprob", type=float, default=0.25)
     g.add_argument("--crop_pct", type=float, default=None)
@@ -137,12 +146,15 @@ def model_config_from_args(args, num_classes: int) -> ViTConfig:
         attn_drop_rate=args.attn_drop_rate,
         drop_path_rate=args.drop_path,
         init_values=args.layer_scale_init_value or None,
-        use_abs_pos_emb=args.abs_pos_emb and not args.rel_pos_bias,
+        # 1:1 flag mapping, no coupling: the reference allows abs_pos_emb and
+        # rel-pos bias simultaneously (run_class_finetuning.py:358-360)
+        use_abs_pos_emb=args.abs_pos_emb,
         use_rel_pos_bias=args.rel_pos_bias,
-        use_shared_rel_pos_bias=args.shared_rel_pos_bias and not args.rel_pos_bias,
+        use_shared_rel_pos_bias=args.shared_rel_pos_bias,
         attn_variant=variant,
         head_type=head_type,
         sngp_fc_norm=args.sngp,
+        sngp_momentum=getattr(args, "sngp_cov_momentum", 0.999),
         learn_layer_weights=args.learn_layer_weights,
         layernorm_before_combine=args.layernorm_before_combine,
         linear_classifier=args.linear_classifier,
@@ -150,8 +162,18 @@ def model_config_from_args(args, num_classes: int) -> ViTConfig:
 
 
 def build_lr_schedules(args, steps_per_epoch: int):
-    total = args.epochs * steps_per_epoch
-    warmup = args.warmup_steps if args.warmup_steps > 0 else args.warmup_epochs * steps_per_epoch
+    """Schedules are indexed in OPTIMIZER-UPDATE units, not mini-batches:
+    optax.MultiSteps only advances the inner scale_by_schedule / ScheduledWD
+    counters once per update_freq mini-steps, matching the reference which
+    steps its schedule arrays per optimizer update
+    (run_class_finetuning.py:556-562, engine_for_finetuning.py:66)."""
+    update_freq = max(1, getattr(args, "update_freq", 1))
+    total = args.epochs * steps_per_epoch // update_freq
+    warmup = (
+        args.warmup_steps
+        if args.warmup_steps > 0
+        else args.warmup_epochs * steps_per_epoch // update_freq
+    )
     if args.tri_phase_schedule:
         w, d = ast.literal_eval(args.tri_phase_schedule)
         lr = schedules.tri_phase_schedule(args.lr, args.min_lr, total, w, d,

@@ -70,6 +70,9 @@ def get_args_parser():
     e.add_argument("--perturbed_data", action="store_true")
     e.add_argument("--corruption_data_path", type=str, default=None)
     e.add_argument("--perturbation_data_path", type=str, default=None)
+    e.add_argument("--wnids_path", type=str, default=None,
+                   help="wnids.txt for TinyImageNet-C class ids (defaults: "
+                        "corruption root, then a sibling clean TinyImageNet dir)")
     return p
 
 
@@ -147,18 +150,53 @@ def load_variables(args, model, sample, return_missing: bool = False):
     return variables
 
 
+def _mc_eval_model(model):
+    """Rebuild the eval model with stochastic depth OFF for MC-dropout.
+
+    The reference's enable_dropout flips only nn.Dropout modules to train
+    mode (uncertainty_evaluations.py:35-39), keeping drop-path disabled, so
+    MC-dropout evaluation must not inherit the training --drop_path rate."""
+    return type(model)(cfg=model.cfg.replace(drop_path_rate=0.0), dtype=model.dtype)
+
+
+def _load_ensemble_members(args, variables):
+    """--ensemble_checkpoints → list of member variable dicts
+    (replaces the reference's hard-coded path templates,
+    engine_for_finetuning.py:234-242)."""
+    members = []
+    for path in args.ensemble_checkpoints:
+        if path.endswith((".pth", ".pt")):
+            sd = C.load_torch_state_dict(path)
+            p, _, _ = C.import_torch_params(sd, variables["params"])
+        else:
+            raw = C.restore_checkpoint(path, None)
+            p = raw.get("params", raw) if isinstance(raw, dict) else raw
+        members.append({"params": p})
+    return members
+
+
 def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
     """--eval dispatch (run_class_finetuning.py:638-677)."""
     results = {}
     batches = lambda: _eval_batches(val_loader, args)
+    crop_pct = args.crop_pct or (224 / 256 if args.input_size < 384 else 1.0)
 
     if args.corrupted_data:
         if args.stochastic:
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
         elif args.mc_dropout:
             from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
-            mc = make_mc_dropout_mean_forward(model, args.mc_dropout_forwards)
+            mc = make_mc_dropout_mean_forward(_mc_eval_model(model), args.mc_dropout_forwards)
             fwd = lambda imgs: mc(variables, imgs, jax.random.PRNGKey(0))
+        elif args.ensembles:
+            # ensembles_c_evaluate (uncertainty_evaluations.py:393-476):
+            # mean member logits per corrupted batch
+            from uncertainty_vit_tpu.evals.ensembles import (
+                ensemble_mean_logits, make_ensemble_forward,
+            )
+            stacked = stack_params(_load_ensemble_members(args, variables))
+            efwd = make_ensemble_forward(model)
+            fwd = lambda imgs: ensemble_mean_logits(efwd(stacked, imgs))
         else:
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
 
@@ -184,11 +222,17 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
                     for i in range(0, len(ds), args.batch_size):
                         imgs = ds.images[i : i + args.batch_size]
                         lbls = ds.labels[i : i + args.batch_size]
-                        imgs = eval_transform_batch(jnp.asarray(imgs), args.input_size)
+                        # same preprocessing as the clean eval path
+                        # (reference datasets.py:251-260 crop_pct semantics)
+                        imgs = eval_transform_batch(
+                            jnp.asarray(imgs), args.input_size, crop_pct,
+                            args.imagenet_default_mean_and_std,
+                        )
                         yield imgs, lbls
             else:  # TinyImageNet-C layout
                 for s in range(1, 6):
-                    ds = D.TinyImageNetC(croot, name, s, decode_size=args.input_size)
+                    ds = D.TinyImageNetC(croot, name, s, wnids_path=args.wnids_path,
+                                         decode_size=args.input_size)
                     from uncertainty_vit_tpu.data.pipeline import BatchLoader
                     for batch in BatchLoader(ds, args.batch_size, shuffle=False,
                                              num_workers=args.num_workers, drop_last=False):
@@ -202,6 +246,12 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
         proot = args.perturbation_data_path or args.data_path
         if args.stochastic:
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
+        elif args.mc_dropout:
+            # mc_dropout_p_evaluate (uncertainty_evaluations.py:661-720):
+            # mean of K dropout-enabled logits per frame, drop-path off
+            from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
+            mc = make_mc_dropout_mean_forward(_mc_eval_model(model), args.mc_dropout_forwards)
+            fwd = lambda imgs: mc(variables, imgs, jax.random.PRNGKey(0))
         else:
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
 
@@ -220,20 +270,12 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
 
     if args.mc_dropout:
         results["mc_dropout"] = E.evaluate_mc_dropout(
-            model, variables, batches(), num_samples=args.mc_dropout_forwards
+            _mc_eval_model(model), variables, batches(),
+            num_samples=args.mc_dropout_forwards,
         )
     elif args.ensembles:
-        members = []
-        for path in args.ensemble_checkpoints:
-            if path.endswith((".pth", ".pt")):
-                sd = C.load_torch_state_dict(path)
-                p, _, _ = C.import_torch_params(sd, variables["params"])
-            else:
-                raw = C.restore_checkpoint(path, None)
-                p = raw.get("params", raw) if isinstance(raw, dict) else raw
-            members.append({"params": p})
         results["ensembles"] = E.evaluate_ensemble(
-            model, stack_params(members), batches()
+            model, stack_params(_load_ensemble_members(args, variables)), batches()
         )
     elif args.stochastic:
         fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
@@ -321,8 +363,28 @@ def main(args):
     jsonl = JsonlLogger(args.output_dir)
     best_acc = -1.0
 
+    # one persistent jitted eval forward for all epochs (no per-epoch retrace)
+    if args.stochastic:
+        eval_forward = jax.jit(
+            lambda v, imgs: model.apply(v, imgs, deterministic=True)[2]
+        )
+    else:
+        eval_forward = E.make_eval_forward(model)
+
     for epoch in range(start_epoch, args.epochs):
         train_loader.set_epoch(epoch)
+        if (
+            cfg.head_type == "sngp"
+            and cfg.sngp_momentum <= 0
+            and getattr(state, "sngp_state", None) is not None
+        ):
+            # exact-accumulation mode: precision matrix restarts each epoch
+            # (SNGP.reset_cov, modeling_finetune.py:596-616)
+            from uncertainty_vit_tpu.models.registry import sngp_reset_cov
+
+            state = state.replace(
+                sngp_state=sngp_reset_cov(state.sngp_state, cfg.sngp_ridge_penalty)
+            )
         logger = MetricLogger()
         data_rng = jax.random.fold_in(rng, epoch)
         for step, batch in enumerate(logger.log_every(device_prefetch(train_loader), 10, f"Epoch: [{epoch}]")):
@@ -361,17 +423,17 @@ def main(args):
             if v is not None:
                 eval_vars[col] = v
         if args.stochastic:
-            fwd = jax.jit(lambda imgs: model.apply(eval_vars, imgs, deterministic=True)[2])
             logits_all, labels_all = [], []
             for images, labels in _eval_batches(val_loader, args):
-                logits_all.append(np.asarray(fwd(images), np.float32))
+                logits_all.append(np.asarray(eval_forward(eval_vars, images), np.float32))
                 labels_all.append(np.asarray(labels))
             from uncertainty_vit_tpu.evals import metrics as M
             test = {k: float(v) for k, v in M.classification_metrics(
                 jnp.asarray(np.concatenate(logits_all)),
                 jnp.asarray(np.concatenate(labels_all))).items()}
         else:
-            test = E.evaluate(model, eval_vars, _eval_batches(val_loader, args))
+            test = E.evaluate(model, eval_vars, _eval_batches(val_loader, args),
+                              forward=eval_forward)
         print(f"epoch {epoch}: " + ", ".join(f"{k}={v:.4f}" for k, v in sorted(test.items())),
               flush=True)
         if test["acc1"] > best_acc:

@@ -14,10 +14,7 @@ from uncertainty_vit_tpu.cli.common import setup_jax
 from uncertainty_vit_tpu.data.pipeline import device_prefetch
 from uncertainty_vit_tpu.models.dvae import DiscreteVAE
 from uncertainty_vit_tpu.models.mim import MIMViT
-from uncertainty_vit_tpu.ops.augment import (
-    IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD, IMAGENET_INCEPTION_MEAN,
-    IMAGENET_INCEPTION_STD, normalize, random_resized_crop_two_pic,
-)
+from uncertainty_vit_tpu.ops.augment import pretrain_two_view_batch
 from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask
 from uncertainty_vit_tpu.train.engine_mim import MIMState, make_mim_train_step
 from uncertainty_vit_tpu.utils import checkpoint as C
@@ -35,28 +32,25 @@ def get_args_parser():
     g.add_argument("--vocab_size", type=int, default=8192)
     g.add_argument("--second_input_size", type=int, default=112)
     g.add_argument("--discrete_vae_weight_path", type=str, default="")
+    g.add_argument("--discrete_vae_type", type=str, default="customized",
+                   choices=["none", "dall-e", "customized"],
+                   help="tokenizer-view transform (datasets.py:86-102): "
+                        "dall-e applies map_pixels, customized Inception-"
+                        "normalizes, none leaves [0,1]")
     g.add_argument("--dvae_num_layers", type=int, default=3)
     g.add_argument("--dvae_hidden_dim", type=int, default=64)
     return p
 
 
-def two_view_batch(key, images_u8, out_size, second_size, mean, std):
-    """ColorJitter-free two-pic path: hflip + same-crop two-size RRC
-    (datasets.py:70-77 uses jitter too; jitter is applied on the first view
-    only in finetune_train_augment semantics — kept simple here)."""
-    imgs = jnp.asarray(images_u8).astype(jnp.float32) / 255.0
-    kf, kc = jax.random.split(key)
-    b = imgs.shape[0]
-    flips = jax.random.bernoulli(kf, 0.5, (b, 1, 1, 1))
-    imgs = jnp.where(flips, imgs[:, :, ::-1, :], imgs)
-    keys = jax.random.split(kc, b)
-    pairs = [
-        random_resized_crop_two_pic(k, im, out_size, second_size)
-        for k, im in zip(keys, imgs)
-    ]
-    first = jnp.stack([a for a, _ in pairs])
-    second = jnp.stack([b_ for _, b_ in pairs])
-    return normalize(first, mean, std), second
+def two_view_batch(args, key, images_u8):
+    """Batched two-pic pipeline: ColorJitter+HFlip on the common image, one
+    same-region RRC resampled at (input_size, second_input_size)
+    (datasets.py:70-118) — one jitted program per step."""
+    return pretrain_two_view_batch(
+        key, jnp.asarray(images_u8), args.input_size, args.second_input_size,
+        args.imagenet_default_mean_and_std, args.color_jitter,
+        args.discrete_vae_type,
+    )
 
 
 def main(args):
@@ -91,8 +85,6 @@ def main(args):
         state, start_epoch = C.auto_load(args.output_dir, state)
 
     step_fn = make_mim_train_step(model, dvae, dvae_vars, tx, lr_schedule)
-    mean = IMAGENET_DEFAULT_MEAN if args.imagenet_default_mean_and_std else IMAGENET_INCEPTION_MEAN
-    std = IMAGENET_DEFAULT_STD if args.imagenet_default_mean_and_std else IMAGENET_INCEPTION_STD
     jsonl = JsonlLogger(args.output_dir)
     grid = cfg.grid_size
 
@@ -104,9 +96,7 @@ def main(args):
             if step >= steps_per_epoch:
                 break
             akey = jax.random.fold_in(data_rng, step)
-            images, vae_images = two_view_batch(
-                akey, batch[0], args.input_size, args.second_input_size, mean, std
-            )
+            images, vae_images = two_view_batch(args, akey, batch[0])
             masks = batched_blockwise_mask(
                 jax.random.fold_in(akey, 1), images.shape[0], grid,
                 args.num_mask_patches, args.min_mask_patches_per_block,

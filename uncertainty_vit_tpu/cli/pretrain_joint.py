@@ -18,10 +18,6 @@ from uncertainty_vit_tpu.data.pipeline import device_prefetch
 from uncertainty_vit_tpu.cli.pretrain_beit import two_view_batch
 from uncertainty_vit_tpu.models.dvae import DiscreteVAE
 from uncertainty_vit_tpu.models.mim import JointViT
-from uncertainty_vit_tpu.ops.augment import (
-    IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD, IMAGENET_INCEPTION_MEAN,
-    IMAGENET_INCEPTION_STD,
-)
 from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask
 from uncertainty_vit_tpu.train.engine_cyclical import CyclicalState
 from uncertainty_vit_tpu.train.engine_mim import JointHParams, make_joint_train_step
@@ -48,6 +44,8 @@ def get_args_parser():
     g.add_argument("--vocab_size", type=int, default=8192)
     g.add_argument("--second_input_size", type=int, default=112)
     g.add_argument("--discrete_vae_weight_path", type=str, default="")
+    g.add_argument("--discrete_vae_type", type=str, default="customized",
+                   choices=["none", "dall-e", "customized"])
     g.add_argument("--dvae_num_layers", type=int, default=3)
     g.add_argument("--dvae_hidden_dim", type=int, default=64)
     return p
@@ -97,8 +95,6 @@ def main(args):
         state, start_epoch = C.auto_load(args.output_dir, state)
 
     step_fn = make_joint_train_step(model, dvae, dvae_vars, tx, hp, lr_schedule)
-    mean = IMAGENET_DEFAULT_MEAN if args.imagenet_default_mean_and_std else IMAGENET_INCEPTION_MEAN
-    std = IMAGENET_DEFAULT_STD if args.imagenet_default_mean_and_std else IMAGENET_INCEPTION_STD
     jsonl = JsonlLogger(args.output_dir)
     grid = cfg.grid_size
 
@@ -110,9 +106,7 @@ def main(args):
             if step >= steps_per_epoch:
                 break
             akey = jax.random.fold_in(data_rng, step)
-            images, vae_images = two_view_batch(
-                akey, batch[0], args.input_size, args.second_input_size, mean, std
-            )
+            images, vae_images = two_view_batch(args, akey, batch[0])
             masks = batched_blockwise_mask(
                 jax.random.fold_in(akey, 1), images.shape[0], grid,
                 args.num_mask_patches, args.min_mask_patches_per_block,

@@ -274,12 +274,10 @@ class TinyImageNetC(ImageFolder):
     ):
         self.root = root
         self.decode_size = decode_size
-        wnids_file = wnids_path or os.path.join(root, "wnids.txt")
-        with open(wnids_file) as f:
-            wnids = [l.strip() for l in f if l.strip()]
+        base = os.path.join(root, distortion, str(severity))
+        wnids = self._find_wnids(root, wnids_path, base)
         self.classes = sorted(wnids)
         class_to_idx = {c: i for i, c in enumerate(self.classes)}
-        base = os.path.join(root, distortion, str(severity))
         self.samples = []
         for wnid in sorted(os.listdir(base)):
             if wnid not in class_to_idx:
@@ -289,6 +287,30 @@ class TinyImageNetC(ImageFolder):
                 if fn.lower().endswith(IMG_EXTENSIONS):
                     self.samples.append((os.path.join(cdir, fn), class_to_idx[wnid]))
         self.labels = np.asarray([s[1] for s in self.samples])
+
+    @staticmethod
+    def _find_wnids(root, wnids_path, severity_dir):
+        """Class-id source, in priority order: explicit --wnids_path, the
+        corruption root's own wnids.txt, a sibling clean TinyImageNet dir
+        (the reference hard-codes one, tin.py:175-176), else the severity
+        directory listing itself (TIN-C ships one dir per wnid, and sorted
+        order matches the clean loader's sorted wnids.txt)."""
+        if wnids_path:
+            # an explicit path must exist — never silently fall back
+            with open(wnids_path) as f:
+                return [l.strip() for l in f if l.strip()]
+        candidates = [os.path.join(root, "wnids.txt")]
+        parent = os.path.dirname(os.path.abspath(root))
+        for sib in ("tiny-imagenet-200", "tiny-imagenet", "tiny_imagenet"):
+            candidates.append(os.path.join(parent, sib, "wnids.txt"))
+        for cand in candidates:
+            if os.path.exists(cand):
+                with open(cand) as f:
+                    return [l.strip() for l in f if l.strip()]
+        return [
+            d for d in os.listdir(severity_dir)
+            if os.path.isdir(os.path.join(severity_dir, d))
+        ]
 
 
 # ---------------------------------------------------------------------------

@@ -32,14 +32,25 @@ def _collect_logits(
     return np.concatenate(logits_all), np.concatenate(labels_all)
 
 
+def make_eval_forward(model) -> Callable:
+    """Persistent jitted (variables, images) → logits. Build ONCE and reuse
+    across epochs: variables are a traced argument, so per-epoch params never
+    force a retrace (only shape changes do)."""
+    return jax.jit(lambda variables, imgs: model.apply(variables, imgs, deterministic=True))
+
+
 def evaluate(
     model,
     variables: Any,
     batches: Iterable,
+    forward: Optional[Callable] = None,
 ) -> Dict[str, float]:
-    """Deterministic eval: acc1/5 + full calibration suite on global logits."""
-    fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
-    logits, labels = _collect_logits(fwd, batches)
+    """Deterministic eval: acc1/5 + full calibration suite on global logits.
+
+    Pass `forward` (from make_eval_forward) to amortize tracing across
+    epochs; otherwise a fresh jit is built per call."""
+    fwd = forward if forward is not None else make_eval_forward(model)
+    logits, labels = _collect_logits(lambda imgs: fwd(variables, imgs), batches)
     out = M.classification_metrics(jnp.asarray(logits), jnp.asarray(labels))
     out["loss"] = out["nll"]  # CE == NLL for hard labels
     return {k: float(v) for k, v in out.items()}

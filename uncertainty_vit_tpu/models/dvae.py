@@ -22,19 +22,11 @@ import jax.numpy as jnp
 Dtype = Any
 
 
-DALLE_LOGIT_LAPLACE_EPS = 0.1
-
-
-def map_pixels(x: jnp.ndarray) -> jnp.ndarray:
-    """DALL-E input mapping (1−2ε)·x + ε (the external dall_e.map_pixels the
-    reference applies to the tokenizer view, datasets.py:86-102)."""
-    return (1.0 - 2.0 * DALLE_LOGIT_LAPLACE_EPS) * x + DALLE_LOGIT_LAPLACE_EPS
-
-
-def unmap_pixels(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.clip(
-        (x - DALLE_LOGIT_LAPLACE_EPS) / (1.0 - 2.0 * DALLE_LOGIT_LAPLACE_EPS), 0.0, 1.0
-    )
+# canonical home is ops/augment.py (it is a data transform); re-exported here
+# because the reference exposes them on the dVAE side (modeling_discrete_vae)
+from uncertainty_vit_tpu.ops.augment import (  # noqa: F401
+    DALLE_LOGIT_LAPLACE_EPS, map_pixels, unmap_pixels,
+)
 
 
 class ResBlock(nn.Module):

@@ -20,11 +20,31 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+# imported at module scope on purpose: randaugment holds module-level jnp
+# constants, and a first import from inside a jit trace would capture them
+# as tracers (UnexpectedTracerError on reuse)
+from uncertainty_vit_tpu.ops import randaugment
+
 # timm.data.constants
 IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
 IMAGENET_INCEPTION_MEAN = (0.5, 0.5, 0.5)
 IMAGENET_INCEPTION_STD = (0.5, 0.5, 0.5)
+
+
+DALLE_LOGIT_LAPLACE_EPS = 0.1
+
+
+def map_pixels(x: jnp.ndarray) -> jnp.ndarray:
+    """DALL-E input mapping (1−2ε)·x + ε (the external dall_e.map_pixels the
+    reference applies to the tokenizer view, datasets.py:86-102)."""
+    return (1.0 - 2.0 * DALLE_LOGIT_LAPLACE_EPS) * x + DALLE_LOGIT_LAPLACE_EPS
+
+
+def unmap_pixels(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(
+        (x - DALLE_LOGIT_LAPLACE_EPS) / (1.0 - 2.0 * DALLE_LOGIT_LAPLACE_EPS), 0.0, 1.0
+    )
 
 
 def to_float(images_u8: jnp.ndarray) -> jnp.ndarray:
@@ -603,9 +623,7 @@ def finetune_train_augment_batch(
     imgs = random_resized_crop_batch(kc, imgs, out_size)
     imgs = random_hflip_batch(kf, imgs, hflip)
     if auto_augment:
-        from uncertainty_vit_tpu.ops.randaugment import rand_augment_batch
-
-        imgs = rand_augment_batch(
+        imgs = randaugment.rand_augment_batch(
             kj, imgs, magnitude=aa_magnitude, magnitude_std=aa_magnitude_std
         )
     elif color_jitter_strength:
@@ -617,6 +635,61 @@ def finetune_train_augment_batch(
     if reprob > 0:
         imgs = random_erasing_batch(ke, imgs, prob=reprob)
     return from_planar(imgs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_size", "second_size", "imagenet_default_mean_and_std",
+                     "color_jitter_strength", "discrete_vae_type"),
+)
+def pretrain_two_view_batch(
+    key: jax.Array,
+    images_u8: jnp.ndarray,
+    out_size: int = 224,
+    second_size: int = 112,
+    imagenet_default_mean_and_std: bool = True,
+    color_jitter_strength: float = 0.4,
+    discrete_vae_type: str = "none",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DataAugmentationForBEiT two-pic path (datasets.py:70-118), fully
+    batched — ONE jitted program per step, no per-sample Python tracing.
+
+    The common image gets ColorJitter(0.4)+HFlip (datasets.py:70-73), then
+    ONE _rrc_params draw per sample produces the SAME crop region resampled
+    at two output sizes (RandomResizedCropAndInterpolationWithTwoPic,
+    transforms.py:164-183). The student view is mean/std-normalized; the
+    tokenizer view follows `discrete_vae_type` (datasets.py:86-102):
+    'none' → raw [0,1]; 'dall-e' → map_pixels; 'customized' → Inception
+    normalize."""
+    mean = IMAGENET_DEFAULT_MEAN if imagenet_default_mean_and_std else IMAGENET_INCEPTION_MEAN
+    std = IMAGENET_DEFAULT_STD if imagenet_default_mean_and_std else IMAGENET_INCEPTION_STD
+    imgs = to_planar(images_u8)
+    kj, kf, kc = jax.random.split(key, 3)
+
+    imgs = color_jitter_batch(kj, imgs, color_jitter_strength,
+                              color_jitter_strength, color_jitter_strength)
+    imgs = random_hflip_batch(kf, imgs)
+
+    b, _, h, w = imgs.shape
+    keys = jax.random.split(kc, b)
+    top, left, ch, cw = jax.vmap(
+        lambda k: _rrc_params(k, h, w, (0.08, 1.0), (3.0 / 4.0, 4.0 / 3.0))
+    )(keys)
+    first = jnp.clip(
+        crop_and_resize_batch(imgs, top, left, ch, cw, (out_size, out_size)), 0.0, 1.0
+    )
+    second = jnp.clip(
+        crop_and_resize_batch(imgs, top, left, ch, cw, (second_size, second_size)),
+        0.0, 1.0,
+    )
+
+    first = normalize(from_planar(first), mean, std)
+    second = from_planar(second)
+    if discrete_vae_type == "dall-e":
+        second = map_pixels(second)
+    elif discrete_vae_type == "customized":
+        second = normalize(second, IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD)
+    return first, second
 
 
 @functools.partial(
