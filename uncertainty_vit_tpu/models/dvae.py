@@ -29,6 +29,48 @@ from uncertainty_vit_tpu.ops.augment import (  # noqa: F401
 )
 
 
+class TorchConvTranspose(nn.Module):
+    """torch-exact ConvTranspose2d(k=4, s=2, p=1) as a dilated convolution.
+
+    torch's transposed conv equals: dilate the input by the stride (insert
+    zeros), pad each spatial side by k−1−p, then CORRELATE with the kernel
+    flipped spatially and with in/out channels swapped. flax's own
+    nn.ConvTranspose uses lax.conv_transpose 'SAME' padding semantics which
+    do NOT reproduce torch's arrangement — this module exists so OpenAI /
+    reference dVAE decoder weights import bit-correctly
+    (modeling_discrete_vae.py:113 ConvTranspose2d(dec_in, hidden, 4, 2, 1)).
+
+    The kernel param is stored HWIO *already flipped* for the dilated
+    correlation; the importer performs the flip/transpose once at load time.
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    torch_padding: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (self.kernel_size, self.kernel_size, in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = self.kernel_size - 1 - self.torch_padding
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(self.dtype)
+
+
 class ResBlock(nn.Module):
     hidden: int
     out: int
@@ -64,11 +106,9 @@ class DiscreteVAE(nn.Module):
                                dtype=self.dtype, name=f"enc_conv_{i}"))
             enc.append(ResBlock(self.hidden_dim, self.hidden_dim, self.dtype,
                                 name=f"enc_res_{i}"))
-            # 2× upsample; flax 'SAME' matches torch ConvTranspose2d(4, s=2,
-            # p=1) output shape (16 from 8)
-            dec.append(nn.ConvTranspose(self.hidden_dim, (4, 4), strides=(2, 2),
-                                        padding="SAME", dtype=self.dtype,
-                                        name=f"dec_conv_{i}"))
+            # 2× upsample, torch-exact (see TorchConvTranspose)
+            dec.append(TorchConvTranspose(self.hidden_dim, dtype=self.dtype,
+                                          name=f"dec_conv_{i}"))
             dec.append(ResBlock(self.hidden_dim, self.hidden_dim, self.dtype,
                                 name=f"dec_res_{i}"))
         self.enc_head = nn.Conv(self.num_tokens, (1, 1), dtype=self.dtype, name="enc_head")

@@ -80,29 +80,28 @@ def _dropout_mask(shape, rate: float):
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
 
 
-def _attend_one_head(q, k, v, bias, dropout_rate: float, scale: float = 1.0):
-    """[N, D] slabs → (out [N, D] f32, probs, probs_dropped, mask).
+def _scores_softmax_parts(q, k, bias, scale: float):
+    """Batched [BB, N, D] q/k → (e [BB, N, N] f32 unnormalized, r [BB, N, 1]
+    reciprocal row sums). probs = e · r, but the division is NEVER applied to
+    the [N, N] tile — callers fold r into the [N, D]-shaped side instead
+    (one full VPU pass over the padded score tile saved; the kernel is
+    VPU-bound on softmax, not MXU-bound).
 
     q/k stay in the input dtype (bf16 on the hot path) — the MXU takes bf16
     inputs with f32 accumulation natively, while f32 inputs fall back to the
     slow multi-pass path. The softmax scale applies to the f32 scores
-    (mathematically identical to scaling q)."""
+    (mathematically identical to scaling q). The leading BB dim batches
+    several images through one program: ~8× less per-program launch/DMA
+    overhead than one-image programs."""
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
     if bias is not None:
-        scores = scores + bias
+        scores = scores + bias[None]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    probs = e / jnp.sum(e, axis=-1, keepdims=True)
-    if dropout_rate > 0.0:
-        mask = _dropout_mask(probs.shape, dropout_rate)
-        probs_dropped = probs * mask
-    else:
-        mask = None
-        probs_dropped = probs
-    out = jnp.dot(probs_dropped.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    return out, probs, probs_dropped, mask
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+    return e, r
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
@@ -114,12 +113,20 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         pltpu.prng_seed(seed_ref[0] + b_idx * num_groups + g_idx)
     for i in range(group):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        q = q_ref[0][:, sl]
-        k = k_ref[0][:, sl]
-        v = v_ref[0][:, sl]
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
         bias = bias_ref[i].astype(jnp.float32) if bias_ref is not None else None
-        out, _, _, _ = _attend_one_head(q, k, v, bias, dropout_rate, scale)
-        o_ref[0, :, sl] = out.astype(o_ref.dtype)
+        e, r = _scores_softmax_parts(q, k, bias, scale)
+        if dropout_rate > 0.0:
+            e = e * _dropout_mask(e.shape, dropout_rate)
+        # out = (probs_dropped @ v) = ((e·mask) @ v) · r — the row-recip
+        # scales the [N, D] output instead of the [N, N] probs
+        out = jax.lax.dot_general(
+            e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * r
+        o_ref[:, :, sl] = out.astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
@@ -140,54 +147,107 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
 
     for i in range(group):
         sl = slice(i * head_dim, (i + 1) * head_dim)
-        q = q_ref[0][:, sl]
-        k = k_ref[0][:, sl]
-        v = v_ref[0][:, sl]
-        g = g_ref[0][:, sl]
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        g = g_ref[:, :, sl]
         bias = bias_ref[i].astype(jnp.float32) if bias_ref is not None else None
 
-        _, probs, probs_dropped, mask = _attend_one_head(q, k, v, bias, dropout_rate, scale)
+        # Recompute the softmax parts; work with the UNNORMALIZED e and the
+        # row reciprocal r, folding r into [N, D]-shaped operands wherever
+        # possible (saves full [N, N] VPU passes; see _scores_softmax_parts).
+        # With probs = e·r (r constant per row i) and e_d = e·mask:
+        #   dv = probs_droppedᵀ g = e_dᵀ (g·r)
+        #   dp_raw = g vᵀ;  dprobs·e = dp_raw·mask·e = dp_raw·e_d =: t
+        #   c_i = Σ_j dprobs·probs = r_i · rowsum(t)
+        #   ds  = probs·(dprobs − c) = (t − e·c) · r
+        e, r = _scores_softmax_parts(q, k, bias, scale)
+        if dropout_rate > 0.0:
+            e_d = e * _dropout_mask(e.shape, dropout_rate)
+        else:
+            e_d = e
 
+        g_r = (g.astype(jnp.float32) * r).astype(v.dtype)
         dv = jax.lax.dot_general(
-            probs_dropped.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            e_d.astype(g_r.dtype), g_r, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
-        dp = jax.lax.dot_general(
-            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        dp_raw = jax.lax.dot_general(
+            g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        if mask is not None:
-            dp = dp * mask
-        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        t = dp_raw * e_d
+        c = r * jnp.sum(t, axis=-1, keepdims=True)
+        ds = (t - e * c) * r
         ds_c = ds.astype(q_ref.dtype)
 
-        dq = jnp.dot(ds_c, k, preferred_element_type=jnp.float32) * scale
+        dq = jax.lax.dot_general(
+            ds_c, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale
         dk = jax.lax.dot_general(
-            ds_c, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            ds_c, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale
 
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
         if dbias_ref is not None:
-            dbias_ref[i] += ds
+            dbias_ref[i] += jnp.sum(ds, axis=0)
 
 
-def _qkv_specs(n: int, lanes: int, num_groups: int, bh_grid: bool):
-    """BlockSpecs slicing per-head-group q/k/v from the fused [B, N, 3C]
-    tensor. bh_grid=True → grid (B, G); False → grid (G, B)."""
+def _qkv_specs(n: int, lanes: int, num_groups: int, bh_grid: bool, bb: int):
+    """BlockSpecs slicing per-head-group q/k/v slabs of `bb` batch items from
+    the fused [B, N, 3C] tensor. bh_grid=True → grid (B/bb, G); False →
+    grid (G, B/bb)."""
 
     def idx(offset_groups):
         if bh_grid:
             return lambda b, g: (b, 0, offset_groups + g)
         return lambda g, b: (b, 0, offset_groups + g)
 
-    shape = (1, n, lanes)
+    shape = (bb, n, lanes)
     return [
         pl.BlockSpec(shape, idx(0), memory_space=pltpu.VMEM),
         pl.BlockSpec(shape, idx(num_groups), memory_space=pltpu.VMEM),
         pl.BlockSpec(shape, idx(2 * num_groups), memory_space=pltpu.VMEM),
     ]
+
+
+def _batch_block(b: int, n: int, lanes: int, group: int, num_slabs: int,
+                 live_scores: int, num_bias_blocks: int = 1) -> int:
+    """Largest batch-block per program that fits VMEM. `num_slabs` counts the
+    [bb, n, lanes] blocks that Mosaic double-buffers (qkv in + out for the
+    forward; + grad in and dq/dk/dv out for the backward); `live_scores`
+    counts concurrent [bb, n, n] f32 intermediates; `num_bias_blocks` the
+    resident [group, n, n] f32 blocks (bias, + dbias in the backward).
+    Batching several images per program amortizes the fixed launch +
+    DMA-setup cost, which dominates at ViT shapes (compute is ~2 µs/program,
+    overhead ~13 µs)."""
+    bias_bytes = num_bias_blocks * group * n * n * 4
+    for bb in (8, 4, 2, 1):
+        if b % bb != 0:
+            continue
+        slabs = num_slabs * bb * n * lanes * 2 * 2  # ×2 double buffering
+        scores = live_scores * bb * n * n * 4
+        # 14MB: bb=4 forward at ViT-B (13.5MB estimated) compiles and runs
+        # 13% faster than bb=2; the backward's 7-slab estimate keeps it at 2
+        # (bb=4 backward fails to compile — measured, not margin)
+        if bias_bytes + slabs + scores <= 14 * 1024 * 1024:
+            return bb
+    return 1
+
+
+def _fwd_bwd_blocks(b: int, n: int, lanes: int, group: int, dropout_rate: float):
+    """(fwd_bb, bwd_bb). With in-kernel dropout the backward REPLAYS the
+    forward's prng sequence, so both kernels must agree on the batch-block
+    (seed mapping and per-head mask shapes depend on it)."""
+    fwd_bb = _batch_block(b, n, lanes, group, num_slabs=4, live_scores=3,
+                          num_bias_blocks=1)
+    bwd_bb = _batch_block(b, n, lanes, group, num_slabs=7, live_scores=4,
+                          num_bias_blocks=2)
+    if dropout_rate > 0.0:
+        shared = min(fwd_bb, bwd_bb)
+        return shared, shared
+    return fwd_bb, bwd_bb
 
 
 def _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate):
@@ -198,13 +258,14 @@ def _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate):
     assert group > 0, (num_heads, head_dim, n)
     num_groups = num_heads // group
     lanes = group * head_dim
+    bb, _ = _fwd_bwd_blocks(b, n, lanes, group, dropout_rate)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    in_specs += _qkv_specs(n, lanes, num_groups, bh_grid=True)
+    in_specs += _qkv_specs(n, lanes, num_groups, bh_grid=True, bb=bb)
     args = [seed, qkv, qkv, qkv]
     if bias is not None:
         in_specs.append(
-            pl.BlockSpec((group, n, n), lambda bb, g: (g, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((group, n, n), lambda b_, g: (g, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(bias)
         kernel = _fwd_kernel
@@ -215,10 +276,10 @@ def _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate):
         functools.partial(kernel, scale=scale, dropout_rate=dropout_rate,
                           group=group, head_dim=head_dim, num_groups=num_groups),
         interpret=INTERPRET,
-        grid=(b, num_groups),
+        grid=(b // bb, num_groups),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, n, lanes), lambda bb, g: (bb, 0, g), memory_space=pltpu.VMEM
+            (bb, n, lanes), lambda b_, g: (b_, 0, g), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
         cost_estimate=pl.CostEstimate(
@@ -237,9 +298,10 @@ def _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate):
     assert group > 0, (num_heads, head_dim, n)
     num_groups = num_heads // group
     lanes = group * head_dim
+    _, bb = _fwd_bwd_blocks(b, n, lanes, group, dropout_rate)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    in_specs += _qkv_specs(n, lanes, num_groups, bh_grid=False)
+    in_specs += _qkv_specs(n, lanes, num_groups, bh_grid=False, bb=bb)
     args = [seed, qkv, qkv, qkv]
     has_bias = bias is not None
     if has_bias:
@@ -248,12 +310,12 @@ def _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate):
         )
         args.append(bias)
     in_specs.append(
-        pl.BlockSpec((1, n, lanes), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM)
+        pl.BlockSpec((bb, n, lanes), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM)
     )
     args.append(g)
 
     grad_spec = pl.BlockSpec(
-        (1, n, lanes), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM
+        (bb, n, lanes), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM
     )
     out_specs = [grad_spec, grad_spec, grad_spec]
     out_shapes = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype)] * 3
@@ -272,7 +334,7 @@ def _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate):
         functools.partial(kernel, scale=scale, dropout_rate=dropout_rate,
                           group=group, head_dim=head_dim, num_groups=num_groups),
         interpret=INTERPRET,
-        grid=(num_groups, b),
+        grid=(num_groups, b // bb),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,

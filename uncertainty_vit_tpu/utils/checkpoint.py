@@ -293,6 +293,84 @@ def import_torch_params(
     return params, missing, unused
 
 
+def _dvae_torch_key_for(path: Tuple[str, ...], num_layers: int) -> Optional[Tuple[str, str]]:
+    """Map DiscreteVAE param paths → reference state_dict keys
+    (modeling_discrete_vae.py:104-122 Sequential layout):
+      encoder.{2i}.0   strided Conv2d   ← enc_conv_{i}
+      encoder.{2i+1}.net.{0,2,4} ResBlock convs ← enc_res_{i}.conv{1,2,3}
+      encoder.{2L}     1×1 head         ← enc_head
+      decoder mirrors with ConvTranspose2d at even slots ← dec_conv_{i}
+      codebook.weight  ← codebook.embedding
+    transforms: 'conv_w' OIHW→HWIO, 'deconv_w' torch ConvTranspose
+    [in,out,kh,kw] → flipped HWIO (see models/dvae.TorchConvTranspose), 'id'.
+    """
+    name = path[-1]
+    if path[0] == "codebook":
+        return "codebook.weight", "id"
+
+    res_conv = {"conv1": 0, "conv2": 2, "conv3": 4}
+
+    for side, prefix in (("enc", "encoder"), ("dec", "decoder")):
+        m = re.fullmatch(rf"{side}_conv_(\d+)", path[0])
+        if m:
+            i = int(m.group(1))
+            tname = "weight" if name == "kernel" else "bias"
+            tf = "id"
+            if name == "kernel":
+                tf = "conv_w" if side == "enc" else "deconv_w"
+            return f"{prefix}.{2 * i}.0.{tname}", tf
+        m = re.fullmatch(rf"{side}_res_(\d+)", path[0])
+        if m:
+            i = int(m.group(1))
+            slot = res_conv[path[1]]
+            tname = "weight" if name == "kernel" else "bias"
+            tf = "conv_w" if name == "kernel" else "id"
+            return f"{prefix}.{2 * i + 1}.net.{slot}.{tname}", tf
+        if path[0] == f"{side}_head":
+            tname = "weight" if name == "kernel" else "bias"
+            tf = "conv_w" if name == "kernel" else "id"
+            return f"{prefix}.{2 * num_layers}.{tname}", tf
+    return None
+
+
+def import_dvae_torch_params(
+    state_dict: Dict[str, np.ndarray], params_template: Any, num_layers: int = 3
+) -> Tuple[Any, List[str], List[str]]:
+    """Fill a DiscreteVAE param tree from a reference/OpenAI torch state_dict
+    (the `Dalle_VAE` load path, modeling_discrete_vae.py:203-225 /
+    utils.py:548-560). Returns (params, missing_paths, unused_keys)."""
+    flat = jax.tree_util.tree_flatten_with_path(params_template)[0]
+    treedef = jax.tree_util.tree_structure(params_template)
+    out_leaves, missing, used = [], [], set()
+
+    for path, leaf in flat:
+        keypath = tuple(str(getattr(p, "key", p)) for p in path)
+        mapping = _dvae_torch_key_for(keypath, num_layers)
+        value = None
+        if mapping is not None:
+            tkey, tf = mapping
+            if tkey in state_dict:
+                v = np.asarray(state_dict[tkey])
+                if tf == "conv_w":
+                    v = v.transpose(2, 3, 1, 0)  # OIHW → HWIO
+                elif tf == "deconv_w":
+                    # torch ConvTranspose2d [in, out, kh, kw] → HWIO with the
+                    # spatial flip baked in for the dilated correlation
+                    v = v.transpose(2, 3, 0, 1)[::-1, ::-1]
+                if v.shape == leaf.shape:
+                    value = v
+                    used.add(tkey)
+        if value is None:
+            missing.append("/".join(keypath))
+            out_leaves.append(leaf)
+        else:
+            out_leaves.append(jnp.asarray(value.copy(), dtype=leaf.dtype))
+
+    params = jax.tree_util.tree_unflatten(treedef, out_leaves)
+    unused = [k for k in state_dict if k not in used]
+    return params, missing, unused
+
+
 def export_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
     """Inverse mapping: our param tree → reference-layout numpy state_dict
     (for round-trip tests and interop)."""
