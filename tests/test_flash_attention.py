@@ -47,7 +47,7 @@ def test_fused_forward_matches_naive(with_bias):
         jax.random.normal(jax.random.PRNGKey(1), (H, N, N)) * 0.1 if with_bias else None
     )
     seed = jnp.zeros((1,), jnp.int32)
-    out = FA.fused_qkv_attention(qkv, bias, seed, SCALE, H, 0.0)
+    out = FA.fused_qkv_attention(qkv, bias, None, seed, SCALE, H, 0.0)
     ref = naive_flat(qkv, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
@@ -58,7 +58,7 @@ def test_fused_backward_matches_naive():
     seed = jnp.zeros((1,), jnp.int32)
 
     g_f = jax.grad(
-        lambda q, b: jnp.sum(FA.fused_qkv_attention(q, b, seed, SCALE, H, 0.0) ** 2),
+        lambda q, b: jnp.sum(FA.fused_qkv_attention(q, b, None, seed, SCALE, H, 0.0) ** 2),
         argnums=(0, 1),
     )(qkv, bias)
     g_r = jax.grad(
@@ -66,6 +66,61 @@ def test_fused_backward_matches_naive():
     )(qkv, bias)
     np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_r[0]), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_r[1]), rtol=1e-3, atol=1e-4)
+
+
+def test_in_kernel_qv_bias_matches_outside_add():
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    bias = jax.random.normal(jax.random.PRNGKey(1), (H, N, N)) * 0.1
+    q_b = jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.3
+    v_b = jax.random.normal(jax.random.PRNGKey(3), (C,)) * 0.3
+    qvb = jnp.stack([q_b, jnp.zeros_like(q_b), v_b], axis=0)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    def with_kernel_bias(q, b, qb):
+        return jnp.sum(FA.fused_qkv_attention(q, b, qb, seed, SCALE, H, 0.0) ** 2)
+
+    def with_outside_add(q, b, qb):
+        return jnp.sum(
+            FA.fused_qkv_attention(q + qb.reshape(-1), b, None, seed, SCALE, H, 0.0)
+            ** 2
+        )
+
+    out_k = FA.fused_qkv_attention(qkv, bias, qvb, seed, SCALE, H, 0.0)
+    out_o = FA.fused_qkv_attention(qkv + qvb.reshape(-1), bias, None, seed, SCALE, H, 0.0)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_o), rtol=2e-4, atol=2e-5)
+
+    g_k = jax.grad(with_kernel_bias, argnums=(0, 1, 2))(qkv, bias, qvb)
+    g_o = jax.grad(with_outside_add, argnums=(0, 1, 2))(qkv, bias, qvb)
+    for a, b_ in zip(g_k, g_o):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="pltpu.prng_seed has no CPU interpreter lowering",
+)
+def test_dropout_backward_replays_forward_mask():
+    """With dropout active the backward regenerates the forward's prng mask
+    stream (same seed mapping, same per-head order, same batch-block). For
+    fixed q/k the output is exactly linear in v through the dropped
+    probability matrix P_d, so f = Σ out² satisfies the Euler identity
+    ⟨∂f/∂v, v⟩ = 2f — but only when the backward's regenerated P_d equals the
+    forward's (a mask mismatch breaks it at the percent level). Avoids finite
+    differences, which the MXU's bf16 input quantization corrupts. TPU-only
+    (the suite's CPU interpreter can't lower the Pallas prng)."""
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    seed = jnp.ones((1,), jnp.int32) * 7
+    rate = 0.3
+
+    def f(q):
+        return jnp.sum(FA.fused_qkv_attention(q, None, None, seed, SCALE, H, rate) ** 2)
+
+    fval = float(f(qkv))
+    g = jax.grad(f)(qkv)
+    v_inner = float(jnp.vdot(g[:, :, 2 * C:], qkv[:, :, 2 * C:]))
+    # measured on chip: rel 1.7e-4 with the replayed mask, 3.3e-3 with a
+    # deliberately mismatched seed — 1e-3 separates them
+    np.testing.assert_allclose(v_inner, 2.0 * fval, rtol=1e-3)
 
 
 def test_head_group_selection():

@@ -70,7 +70,7 @@ def main():
     def attn_loss(q, b_):
         h = q
         for _ in range(LAYERS):
-            o = fused_qkv_attention(h, b_, seed, scale, H, 0.0)
+            o = fused_qkv_attention(h, b_, None, seed, scale, H, 0.0)
             h = jnp.concatenate([o, o, o], axis=-1)
         return h.astype(jnp.float32).mean()
 

@@ -105,12 +105,12 @@ def main():
     seed = jnp.zeros((1,), jnp.int32)
     scale = (c // h) ** -0.5
 
-    att = jax.jit(lambda q: fused_qkv_attention(q, bias, seed, scale, h, 0.0))
+    att = jax.jit(lambda q: fused_qkv_attention(q, bias, None, seed, scale, h, 0.0))
     t = timeit(att, qkv, label="attn fwd kernel")
     print(f"    ×12 layers = {12*t:6.1f} ms")
 
     def att_loss(q, b_):
-        return fused_qkv_attention(q, b_, seed, scale, h, 0.0).astype(jnp.float32).sum()
+        return fused_qkv_attention(q, b_, None, seed, scale, h, 0.0).astype(jnp.float32).sum()
 
     att_g = jax.jit(jax.grad(att_loss, argnums=(0, 1)))
     t = timeit(att_g, qkv, bias, label="attn fwd+bwd")

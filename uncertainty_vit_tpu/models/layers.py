@@ -194,6 +194,12 @@ class Attention(nn.Module):
         if self.qkv_bias:
             q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
             v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
+            # q|zeros|v rows — the structurally-zero key bias
+            # (modeling_finetune.py:146-151). Added HERE, not in-kernel: XLA
+            # fuses this add into the qkv matmul epilogue for free, while the
+            # kernel's VMEM-slab add measured ~1 ms/step of extra VPU work
+            # (the kernel still accepts a packed [3, C] qv_bias for callers
+            # without a preceding matmul to fuse into).
             bias = jnp.concatenate([q_bias, jnp.zeros_like(v_bias), v_bias])
             qkv = qkv + bias.astype(self.dtype)
 
@@ -229,7 +235,7 @@ class Attention(nn.Module):
             else:
                 seed = jnp.zeros((1,), jnp.int32)
             out = fused_qkv_attention(
-                qkv, bias_bhnn, seed, scale, self.num_heads, drop_rate
+                qkv, bias_bhnn, None, seed, scale, self.num_heads, drop_rate
             )
         else:
             qkv_r = qkv.reshape(b, n, 3, self.num_heads, head_dim)

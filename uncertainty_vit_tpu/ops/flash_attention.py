@@ -7,15 +7,20 @@ transposed copies. These kernels remove both:
 
 - inputs are the *fused* qkv activations [B, N, 3C] straight out of the qkv
   matmul — per-head q/k/v slabs are BlockSpec slices, so no transpose or
-  reshape ever materializes;
-- each program handles a (batch, head-group) tile — head groups of
+  reshape ever materializes. The reference's q/v bias add (torch cat of
+  q_bias|zeros|v_bias, modeling_finetune.py:146-151) happens IN-kernel on the
+  VMEM slabs, saving a full [B, N, 3C] HBM round trip per layer;
+- each program handles a (batch-block, head-group) tile — head groups of
   128/head_dim heads keep the lane dimension at the 128 the Mosaic tiling
   requires — computing scores + bias + exact softmax + optional attention
   dropout + PV entirely in VMEM;
-- the backward is a second Pallas kernel (same layout) that recomputes
-  probabilities, regenerates the identical dropout mask from the same
-  per-(b,h) seed (pltpu.prng), and accumulates the rel-pos-bias gradient by
-  revisiting its output block across the inner batch grid dimension;
+- the forward also emits the per-row softmax log-sum-exp ([B, N, H]), so the
+  backward reconstructs probabilities as exp(scores − lse) in ONE VPU pass —
+  no max or row-sum recompute (the standard flash-attention residual);
+- the backward is a second Pallas kernel (same layout) that regenerates the
+  identical dropout mask from the same per-(b,h) seed (pltpu.prng) and
+  accumulates the rel-pos-bias gradient by revisiting its output block across
+  the inner batch grid dimension;
 - outputs write back as [B, N, C] head slices, feeding the projection matmul
   directly.
 
@@ -80,12 +85,8 @@ def _dropout_mask(shape, rate: float):
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
 
 
-def _scores_softmax_parts(q, k, bias, scale: float):
-    """Batched [BB, N, D] q/k → (e [BB, N, N] f32 unnormalized, r [BB, N, 1]
-    reciprocal row sums). probs = e · r, but the division is NEVER applied to
-    the [N, N] tile — callers fold r into the [N, D]-shaped side instead
-    (one full VPU pass over the padded score tile saved; the kernel is
-    VPU-bound on softmax, not MXU-bound).
+def _scores(q, k, bias, scale: float):
+    """Batched [BB, N, D] q/k → raw f32 scores [BB, N, N] (scaled, biased).
 
     q/k stay in the input dtype (bf16 on the hot path) — the MXU takes bf16
     inputs with f32 accumulation natively, while f32 inputs fall back to the
@@ -93,31 +94,54 @@ def _scores_softmax_parts(q, k, bias, scale: float):
     (mathematically identical to scaling q). The leading BB dim batches
     several images through one program: ~8× less per-program launch/DMA
     overhead than one-image programs."""
-    scores = jax.lax.dot_general(
+    s = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     ) * scale
     if bias is not None:
-        scores = scores + bias[None]
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-    return e, r
+        s = s + bias[None]
+    return s
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
-                scale: float, dropout_rate: float, group: int, head_dim: int,
-                num_groups: int):
+def _qv_biased(qkv_slab, qvb_row, sl):
+    """Add the per-head-group q/v bias slice to a VMEM slab (bf16 add, same
+    numerics as the reference's out-of-kernel qkv + cat(q_bias,0,v_bias))."""
+    return qkv_slab + qvb_row[sl].astype(qkv_slab.dtype)[None, None, :]
+
+
+def _fwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
+                head_dim: int, num_groups: int, has_bias: bool, has_qvb: bool,
+                want_lse: bool):
+    it = iter(refs)
+    seed_ref = next(it)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    bias_ref = next(it) if has_bias else None
+    qvb_ref = next(it) if has_qvb else None
+    o_ref = next(it)
+    lse_ref = next(it) if want_lse else None
+
     b_idx = pl.program_id(0)
     g_idx = pl.program_id(1)
     if dropout_rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + b_idx * num_groups + g_idx)
+    qvb = qvb_ref[...] if has_qvb else None
     for i in range(group):
         sl = slice(i * head_dim, (i + 1) * head_dim)
         q = q_ref[:, :, sl]
         k = k_ref[:, :, sl]
         v = v_ref[:, :, sl]
-        bias = bias_ref[i].astype(jnp.float32) if bias_ref is not None else None
-        e, r = _scores_softmax_parts(q, k, bias, scale)
+        if has_qvb:
+            q = _qv_biased(q, qvb[0], sl)
+            v = _qv_biased(v, qvb[2], sl)
+        bias = bias_ref[i].astype(jnp.float32) if has_bias else None
+        s = _scores(q, k, bias, scale)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        if want_lse:
+            # softmax log-sum-exp for the backward: probs = exp(s − lse).
+            # Single-lane store per head (a lane-dim concat of the per-head
+            # columns measured ~0.5 ms/layer of relayout; this doesn't).
+            lse_ref[:, :, i:i + 1] = m - jnp.log(r)
         if dropout_rate > 0.0:
             e = e * _dropout_mask(e.shape, dropout_rate)
         # out = (probs_dropped @ v) = ((e·mask) @ v) · r — the row-recip
@@ -129,12 +153,19 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, o_ref, *,
         o_ref[:, :, sl] = out.astype(o_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, dbias_ref, *,
-                scale: float, dropout_rate: float, group: int, head_dim: int,
-                num_groups: int):
+def _bwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
+                head_dim: int, num_groups: int, has_bias: bool, has_qvb: bool):
     # grid is (G, B): head-group outer, batch inner → dbias_ref revisits the
     # same block across b steps and accumulates in VMEM.
+    it = iter(refs)
+    seed_ref = next(it)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    bias_ref = next(it) if has_bias else None
+    qvb_ref = next(it) if has_qvb else None
+    lse_ref, g_ref = next(it), next(it)
+    dq_ref, dk_ref, dv_ref = next(it), next(it), next(it)
+    dbias_ref = next(it) if has_bias else None
+
     g_idx = pl.program_id(0)
     b_idx = pl.program_id(1)
     if dropout_rate > 0.0:
@@ -142,42 +173,44 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
 
     @pl.when(b_idx == 0)
     def _():
-        if dbias_ref is not None:
+        if has_bias:
             dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
+    qvb = qvb_ref[...] if has_qvb else None
+    lse_all = lse_ref[...]
     for i in range(group):
         sl = slice(i * head_dim, (i + 1) * head_dim)
         q = q_ref[:, :, sl]
         k = k_ref[:, :, sl]
         v = v_ref[:, :, sl]
+        if has_qvb:
+            q = _qv_biased(q, qvb[0], sl)
+            v = _qv_biased(v, qvb[2], sl)
         g = g_ref[:, :, sl]
-        bias = bias_ref[i].astype(jnp.float32) if bias_ref is not None else None
+        bias = bias_ref[i].astype(jnp.float32) if has_bias else None
 
-        # Recompute the softmax parts; work with the UNNORMALIZED e and the
-        # row reciprocal r, folding r into [N, D]-shaped operands wherever
-        # possible (saves full [N, N] VPU passes; see _scores_softmax_parts).
-        # With probs = e·r (r constant per row i) and e_d = e·mask:
-        #   dv = probs_droppedᵀ g = e_dᵀ (g·r)
-        #   dp_raw = g vᵀ;  dprobs·e = dp_raw·mask·e = dp_raw·e_d =: t
-        #   c_i = Σ_j dprobs·probs = r_i · rowsum(t)
-        #   ds  = probs·(dprobs − c) = (t − e·c) · r
-        e, r = _scores_softmax_parts(q, k, bias, scale)
+        # Normalized probabilities straight from the saved log-sum-exp —
+        # one exp pass, no max/row-sum recompute. With p_d = p·mask:
+        #   dv = p_dᵀ g
+        #   dp_raw = g vᵀ;  t = dp_raw·p_d  (= dprobs·p)
+        #   c = rowsum(t);  ds = t − p·c    (softmax vjp)
+        s = _scores(q, k, bias, scale)
+        p = jnp.exp(s - lse_all[:, :, i:i + 1])
         if dropout_rate > 0.0:
-            e_d = e * _dropout_mask(e.shape, dropout_rate)
+            p_d = p * _dropout_mask(p.shape, dropout_rate)
         else:
-            e_d = e
+            p_d = p
 
-        g_r = (g.astype(jnp.float32) * r).astype(v.dtype)
         dv = jax.lax.dot_general(
-            e_d.astype(g_r.dtype), g_r, (((1,), (1,)), ((0,), (0,))),
+            p_d.astype(g.dtype), g, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
         dp_raw = jax.lax.dot_general(
             g, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
-        t = dp_raw * e_d
-        c = r * jnp.sum(t, axis=-1, keepdims=True)
-        ds = (t - e * c) * r
+        t = dp_raw * p_d
+        c = jnp.sum(t, axis=-1, keepdims=True)
+        ds = t - p * c
         ds_c = ds.astype(q_ref.dtype)
 
         dq = jax.lax.dot_general(
@@ -190,7 +223,7 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
         dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
         dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
         dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
-        if dbias_ref is not None:
+        if has_bias:
             dbias_ref[i] += jnp.sum(ds, axis=0)
 
 
@@ -212,6 +245,11 @@ def _qkv_specs(n: int, lanes: int, num_groups: int, bh_grid: bool, bb: int):
     ]
 
 
+def _lse_bytes(bb: int, n: int, group: int) -> int:
+    # [bb, n, group] f32, lanes padded to 128, double-buffered
+    return 2 * bb * n * max(group, _LANE) * 4
+
+
 def _batch_block(b: int, n: int, lanes: int, group: int, num_slabs: int,
                  live_scores: int, num_bias_blocks: int = 1) -> int:
     """Largest batch-block per program that fits VMEM. `num_slabs` counts the
@@ -228,10 +266,11 @@ def _batch_block(b: int, n: int, lanes: int, group: int, num_slabs: int,
             continue
         slabs = num_slabs * bb * n * lanes * 2 * 2  # ×2 double buffering
         scores = live_scores * bb * n * n * 4
-        # 14MB: bb=4 forward at ViT-B (13.5MB estimated) compiles and runs
-        # 13% faster than bb=2; the backward's 7-slab estimate keeps it at 2
-        # (bb=4 backward fails to compile — measured, not margin)
-        if bias_bytes + slabs + scores <= 14 * 1024 * 1024:
+        # 14.5MB: bb=4 forward at ViT-B (13.5MB slab/score estimate + the
+        # 0.8MB lse block) compiles and runs 13% faster than bb=2; the
+        # backward's 7-slab estimate keeps it at 2 (bb=4 backward fails to
+        # compile — measured, not margin)
+        if bias_bytes + slabs + scores + _lse_bytes(bb, n, group) <= int(14.5 * 1024 * 1024):
             return bb
     return 1
 
@@ -250,7 +289,8 @@ def _fwd_bwd_blocks(b: int, n: int, lanes: int, group: int, dropout_rate: float)
     return fwd_bb, bwd_bb
 
 
-def _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate):
+def _fwd_impl(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate,
+              want_lse: bool = True):
     b, n, c3 = qkv.shape
     c = c3 // 3
     head_dim = c // num_heads
@@ -268,29 +308,45 @@ def _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate):
             pl.BlockSpec((group, n, n), lambda b_, g: (g, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(bias)
-        kernel = _fwd_kernel
-    else:
-        kernel = lambda s, q, k, v, o, **kw: _fwd_kernel(s, q, k, v, None, o, **kw)
+    if qv_bias is not None:
+        in_specs.append(
+            pl.BlockSpec((3, lanes), lambda b_, g: (0, g), memory_space=pltpu.VMEM)
+        )
+        args.append(qv_bias)
 
-    return pl.pallas_call(
-        functools.partial(kernel, scale=scale, dropout_rate=dropout_rate,
-                          group=group, head_dim=head_dim, num_groups=num_groups),
+    kernel = functools.partial(
+        lambda *refs, **kw: _fwd_kernel(refs, **kw),
+        scale=scale, dropout_rate=dropout_rate, group=group,
+        head_dim=head_dim, num_groups=num_groups,
+        has_bias=bias is not None, has_qvb=qv_bias is not None,
+        want_lse=want_lse,
+    )
+    out_specs = [
+        pl.BlockSpec((bb, n, lanes), lambda b_, g: (b_, 0, g), memory_space=pltpu.VMEM)
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype)]
+    if want_lse:
+        out_specs.append(
+            pl.BlockSpec((bb, n, group), lambda b_, g: (b_, 0, g), memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((b, n, num_heads), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
         interpret=INTERPRET,
         grid=(b // bb, num_groups),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (bb, n, lanes), lambda b_, g: (b_, 0, g), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, n, c), qkv.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * n * n * head_dim,
             bytes_accessed=2 * b * n * c3 * qkv.dtype.itemsize,
             transcendentals=b * num_heads * n * n,
         ),
     )(*args)
+    return (outs[0], outs[1]) if want_lse else (outs[0], None)
 
 
-def _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate):
+def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
     b, n, c3 = qkv.shape
     c = c3 // 3
     head_dim = c // num_heads
@@ -309,6 +365,15 @@ def _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate):
             pl.BlockSpec((group, n, n), lambda gg, b_: (gg, 0, 0), memory_space=pltpu.VMEM)
         )
         args.append(bias)
+    if qv_bias is not None:
+        in_specs.append(
+            pl.BlockSpec((3, lanes), lambda gg, b_: (0, gg), memory_space=pltpu.VMEM)
+        )
+        args.append(qv_bias)
+    in_specs.append(
+        pl.BlockSpec((bb, n, group), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM)
+    )
+    args.append(lse)
     in_specs.append(
         pl.BlockSpec((bb, n, lanes), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM)
     )
@@ -324,15 +389,15 @@ def _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate):
             pl.BlockSpec((group, n, n), lambda gg, b_: (gg, 0, 0), memory_space=pltpu.VMEM)
         )
         out_shapes.append(jax.ShapeDtypeStruct(bias.shape, jnp.float32))
-        kernel = _bwd_kernel
-    else:
-        kernel = lambda s, q, k, v, g_, dq, dk, dv, **kw: _bwd_kernel(
-            s, q, k, v, None, g_, dq, dk, dv, None, **kw
-        )
 
+    kernel = functools.partial(
+        lambda *refs, **kw: _bwd_kernel(refs, **kw),
+        scale=scale, dropout_rate=dropout_rate, group=group,
+        head_dim=head_dim, num_groups=num_groups,
+        has_bias=has_bias, has_qvb=qv_bias is not None,
+    )
     outs = pl.pallas_call(
-        functools.partial(kernel, scale=scale, dropout_rate=dropout_rate,
-                          group=group, head_dim=head_dim, num_groups=num_groups),
+        kernel,
         interpret=INTERPRET,
         grid=(num_groups, b // bb),
         in_specs=in_specs,
@@ -348,13 +413,21 @@ def _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate):
     dq, dk, dv = outs[:3]
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
     dbias = outs[3].astype(bias.dtype) if has_bias else None
-    return dqkv, dbias
+    if qv_bias is None:
+        dqvb = None
+    else:
+        # d(q/v bias) = per-section reduction of dqkv over (batch, tokens);
+        # the k row is structurally unused by the caller (zero key bias).
+        dqvb = dqkv.reshape(b, n, 3, c).astype(jnp.float32).sum(axis=(0, 1))
+        dqvb = dqvb.astype(qv_bias.dtype)
+    return dqkv, dbias, dqvb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_qkv_attention(
     qkv: jnp.ndarray,
     bias: Optional[jnp.ndarray],
+    qv_bias: Optional[jnp.ndarray],
     seed: jnp.ndarray,
     scale: float,
     num_heads: int,
@@ -363,23 +436,30 @@ def fused_qkv_attention(
     """Fused multi-head attention over packed qkv activations.
 
     qkv: [B, N, 3C] (q|k|v concatenated, heads interleaved as C = H·D);
-    bias: [H, N, N] or None; seed: int32 [1] (ignored when dropout_rate=0).
-    Returns [B, N, C] in qkv.dtype. Numerics match
+    bias: [H, N, N] or None; qv_bias: [3, C] f32 (rows = q|k|v bias, the k row
+    zero per the reference's no-key-bias rule, modeling_finetune.py:146-151)
+    added to the q/v slabs in-kernel, or None; seed: int32 [1] (ignored when
+    dropout_rate=0). Returns [B, N, C] in qkv.dtype. Numerics match
     ops.attention.naive_attention(softmax); dropout masks are the kernel's
     own (pltpu prng), deterministic per (seed, batch, head).
     """
-    return _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate)
+    out, _ = _fwd_impl(
+        qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate, want_lse=False
+    )
+    return out
 
 
-def _fused_fwd(qkv, bias, seed, scale, num_heads, dropout_rate):
-    out = _fwd_impl(qkv, bias, seed, scale, num_heads, dropout_rate)
-    return out, (qkv, bias, seed)
+def _fused_fwd(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate):
+    out, lse = _fwd_impl(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate)
+    return out, (qkv, bias, qv_bias, seed, lse)
 
 
 def _fused_bwd(scale, num_heads, dropout_rate, res, g):
-    qkv, bias, seed = res
-    dqkv, dbias = _bwd_impl(qkv, bias, seed, g, scale, num_heads, dropout_rate)
-    return (dqkv, dbias, None)
+    qkv, bias, qv_bias, seed, lse = res
+    dqkv, dbias, dqvb = _bwd_impl(
+        qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate
+    )
+    return (dqkv, dbias, dqvb, None)
 
 
 fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)
@@ -400,5 +480,5 @@ def flash_attention(
     to_flat = lambda t: jnp.moveaxis(t, 1, 2).reshape(b, n, h * d)
     qkv = jnp.concatenate([to_flat(q), to_flat(k), to_flat(v)], axis=-1)
     seed = jnp.zeros((1,), jnp.int32)
-    out = fused_qkv_attention(qkv, bias, seed, scale, h, 0.0)
+    out = fused_qkv_attention(qkv, bias, None, seed, scale, h, 0.0)
     return jnp.moveaxis(out.reshape(b, n, h, d), 2, 1)
