@@ -117,3 +117,42 @@ def test_cli_finetune_stochastic(cifar_root, tmp_path):
     )))
     state = FT.main(args)
     assert int(state.step) == 2
+
+
+def test_cli_train_dvae_produces_loadable_weights(cifar_root, tmp_path):
+    """The dVAE trainer runs end-to-end and exports a weights checkpoint the
+    BEiT pretrainer can restore via --discrete_vae_weight_path (the
+    reference has no in-repo producer for its tokenizer weights —
+    modeling_discrete_vae.py:203-225 loads OpenAI pickles)."""
+    from uncertainty_vit_tpu.cli import train_dvae as TD
+
+    out = str(tmp_path / "dvae")
+    args = TD.get_args_parser().parse_args([
+        "--data_set", "CIFAR100", "--data_path", cifar_root,
+        "--batch_size", "8", "--epochs", "1", "--num_workers", "0",
+        "--output_dir", out, "--save_ckpt_freq", "1",
+        "--input_size", "8", "--vocab_size", "64",
+        "--dvae_num_layers", "2", "--dvae_hidden_dim", "8",
+        "--codebook_dim", "16", "--steps_per_epoch", "3",
+        "--warmup_epochs", "0",
+    ])
+    variables = TD.main(args)
+    log = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert np.isfinite(log[0]["train_loss"])
+    assert 0.0 < log[0]["train_codebook_used_frac"] <= 1.0
+    weights_path = os.path.join(out, "checkpoint-dvae-weights")
+    assert os.path.isdir(weights_path)
+
+    # the exported weights restore into the BEiT pretrainer's dVAE template
+    from uncertainty_vit_tpu.models.dvae import DiscreteVAE
+    from uncertainty_vit_tpu.utils import checkpoint as C
+    import jax
+    import jax.numpy as jnp
+
+    dvae = DiscreteVAE(image_size=8, num_tokens=64, codebook_dim=16,
+                       num_layers=2, hidden_dim=8)
+    template = dvae.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    restored = C.restore_checkpoint(weights_path, template)
+    idx = dvae.apply(restored, jnp.zeros((2, 8, 8, 3)),
+                     method=dvae.get_codebook_indices)
+    assert idx.shape == (2, 4)  # 8/4 grid at 2 layers → 2x2 tokens

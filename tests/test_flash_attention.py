@@ -127,11 +127,65 @@ def test_head_group_selection():
     assert FA._head_group(64, 12, 197) == 12
     assert FA._head_group(64, 16, 197) == 16
     assert FA._head_group(64, 12, 577) == 2
-    assert FA._head_group(64, 16, 1025) == 0  # VMEM-infeasible → naive path
+    # VMEM-infeasible for the fused kernel → routed to the q-tiled
+    # streaming kernel (ViT-L/512)
+    assert FA._head_group(64, 16, 1025) == 0
+    assert FA._route(16, 64, 1025) == "stream"
     assert FA.kernel_supported(12, 64, 197)
-    assert not FA.kernel_supported(16, 64, 1025)
+    assert FA.kernel_supported(16, 64, 1025)
+    # streaming q-tile: 8-aligned ceil grid at 1025, full-N when small
+    g, tq = FA._stream_plan(64, 16, 1025)
+    assert tq % 8 == 0 and -(-1025 // tq) * tq >= 1025
     # odd head_dim that can't tile 128 lanes
     assert not FA.kernel_supported(3, 100, 197)
+
+
+@pytest.fixture
+def force_stream():
+    FA._FORCE_STREAM = True
+    caps = FA._STREAM_CAPS
+    FA._STREAM_CAPS = (8,)  # multi-tile grids at interpreter-friendly N
+    yield
+    FA._FORCE_STREAM = False
+    FA._STREAM_CAPS = caps
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_stream_forward_matches_naive(force_stream, with_bias):
+    # N=13 with tile 8 → ragged last tile (exercises the masked-OOB path)
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    bias = (
+        jax.random.normal(jax.random.PRNGKey(1), (H, N, N)) * 0.1 if with_bias else None
+    )
+    seed = jnp.zeros((1,), jnp.int32)
+    assert FA._route(H, D, N) == "stream"
+    out = FA.fused_qkv_attention(qkv, bias, None, seed, SCALE, H, 0.0)
+    ref = naive_flat(qkv, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_stream_backward_matches_naive(force_stream):
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    bias = jax.random.normal(jax.random.PRNGKey(1), (H, N, N)) * 0.1
+    q_b = jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.3
+    v_b = jax.random.normal(jax.random.PRNGKey(3), (C,)) * 0.3
+    qvb = jnp.stack([q_b, jnp.zeros_like(q_b), v_b], axis=0)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    g_f = jax.grad(
+        lambda q, b, qb: jnp.sum(
+            FA.fused_qkv_attention(q, b, qb, seed, SCALE, H, 0.0) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(qkv, bias, qvb)
+    g_r = jax.grad(
+        lambda q, b, qb: jnp.sum(naive_flat(q + qb.reshape(-1), b) ** 2),
+        argnums=(0, 1, 2),
+    )(qkv, bias, qvb)
+    for a, b_ in zip(g_f, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4
+        )
 
 
 def test_compat_wrapper_layout():

@@ -147,14 +147,29 @@ def test_block_parity(gamma):
     )
 
 
-def test_full_vit_parity():
-    """Tiny full ViT forward: conv patchify → blocks → mean-pool fc_norm → head."""
-    cfg = ViTConfig(
-        img_size=32, patch_size=16, embed_dim=16, depth=2, num_heads=2,
-        num_classes=7, use_shared_rel_pos_bias=True, use_flash_attention=False,
-    )
+@pytest.mark.parametrize("full_size", [False, True], ids=["tiny", "beit_base_224"])
+def test_full_vit_parity(full_size):
+    """Full ViT forward: conv patchify → blocks → mean-pool fc_norm → head.
+
+    Runs both a tiny config and the REAL beit_base_patch16_224 preset
+    (depth 12, embed 768, N=197, shared rel-pos — the reference's flagship
+    finetune model, modeling_finetune.py:1221-1229) so layout/precision
+    divergences that only appear at production scale are caught."""
+    if full_size:
+        from uncertainty_vit_tpu.core.config import get_preset
+
+        cfg = get_preset(
+            "beit_base_patch16_224", num_classes=10,
+            use_shared_rel_pos_bias=True, use_abs_pos_emb=True,
+        ).replace(use_flash_attention=False)
+        images = jax.random.normal(jax.random.PRNGKey(1), (2, 224, 224, 3))
+    else:
+        cfg = ViTConfig(
+            img_size=32, patch_size=16, embed_dim=16, depth=2, num_heads=2,
+            num_classes=7, use_shared_rel_pos_bias=True, use_flash_attention=False,
+        )
+        images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
     model = VisionTransformer(cfg=cfg)
-    images = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
     params = model.init(jax.random.PRNGKey(0), images)["params"]
     p = jax.tree_util.tree_map(np.asarray, params)
     ours = np.asarray(model.apply({"params": params}, images))

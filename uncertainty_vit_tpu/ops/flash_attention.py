@@ -73,7 +73,9 @@ def _head_group(head_dim: int, num_heads: int, n: int) -> int:
 
 
 def kernel_supported(num_heads: int, head_dim: int, seq_len: int = 197) -> bool:
-    return _head_group(head_dim, num_heads, seq_len) > 0
+    """True when a Pallas path exists: the VMEM-resident fused kernel (N up
+    to ~600) or the q-tiled streaming kernel (ViT-L/512 N=1025 and up)."""
+    return _route(num_heads, head_dim, seq_len) is not None
 
 
 def _dropout_mask(shape, rate: float):
@@ -423,6 +425,448 @@ def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
     return dqkv, dbias, dqvb
 
 
+# ---------------------------------------------------------------------------
+# q-tiled streaming kernels (big N: ViT-L/512 → N=1025 and beyond)
+# ---------------------------------------------------------------------------
+#
+# When the full [N, N] score tile no longer fits VMEM, queries are tiled and
+# keys/values stay VMEM-resident for a whole head group (k+v for a 2-head
+# group at N=1025 is ~0.5 MB — tiny). Each q-tile then computes an EXACT
+# full-row softmax against all keys in one shot, so no running-max/rescale
+# stream is needed (the part of "flash attention" that exists to handle
+# k-tiling, which this regime doesn't require).
+#
+# The backward splits into two kernels because its two accumulations run
+# over different grid dimensions:
+#   - dq + dbias:  grid (G, QT, B) — dbias revisits its (g, qt) block across
+#     the innermost batch steps (same trick as the fused kernel);
+#   - dk + dv:     grid (G, B, QT) — dk/dv revisit their (b, g) block across
+#     the innermost q-tile steps, accumulating in f32 outputs.
+# Each recomputes the probability tile from the saved lse (one exp pass), so
+# the score matmul runs twice in the backward — ~3% of the step's MXU time
+# at these shapes, far cheaper than staging [B, H, N, N] through HBM.
+
+# Tests flip this to exercise the streaming path at interpreter-friendly
+# sizes (the fused path otherwise wins the route for any N that fits VMEM).
+_FORCE_STREAM = False
+
+
+def _q_tile(n: int, cap: int) -> int:
+    """Query-tile rows: n itself when it fits (block dim == array dim is
+    always Mosaic-legal), else the smallest tile count ≤ cap rounded up to
+    the sublane quantum of 8 (Mosaic requires tiled dims % 8 == 0). The tile
+    grid is ceil(n / tq); the ragged last tile relies on masked OOB stores
+    plus explicit row masking where values feed accumulations (dk/dv)."""
+    if n <= cap:
+        return n
+    tiles = -(-n // cap)
+    return -(-(-(-n // tiles)) // 8) * 8
+
+
+# Tile caps tried largest-first; tests shrink this to force multi-tile grids
+# at interpreter-friendly sizes.
+_STREAM_CAPS = (512, 256, 128, 64, 32)
+
+
+def _stream_plan(head_dim: int, num_heads: int, n: int):
+    """(head_group, q_tile) for the streaming kernels, or None. Chosen
+    jointly: the largest tile whose worst kernel (bwd-dq: bias + dbias
+    blocks + live score tiles + VMEM-resident k/v) fits, with the largest
+    128-lane-aligned head group at that tile."""
+    for cap in _STREAM_CAPS:
+        tq = _q_tile(n, cap)
+        for g in _group_candidates(num_heads, head_dim):
+            lanes = g * head_dim
+            kv_resident = 2 * 2 * n * lanes * 2       # k+v, double-buffered
+            tiles = 3 * tq * n * 4                    # live score-tile f32s
+            bias_blocks = 2 * 2 * g * tq * n * 4      # bias + dbias, buffered
+            small = 4 * 2 * tq * lanes * 4            # q/g/dq/o tiles
+            if kv_resident + tiles + bias_blocks + small <= 13 * 1024 * 1024:
+                return g, tq
+    return None
+
+
+def _stream_seed(seed_ref, b_idx, g_idx, qt_idx, num_groups, num_tiles):
+    return seed_ref[0] + (b_idx * num_groups + g_idx) * num_tiles + qt_idx
+
+
+def _stream_fwd_kernel(refs, *, scale, dropout_rate, group, head_dim,
+                       num_groups, num_tiles, has_bias, has_qvb, want_lse):
+    it = iter(refs)
+    seed_ref = next(it)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    bias_ref = next(it) if has_bias else None
+    qvb_ref = next(it) if has_qvb else None
+    o_ref = next(it)
+    lse_ref = next(it) if want_lse else None
+
+    b_idx, g_idx, qt_idx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(
+            _stream_seed(seed_ref, b_idx, g_idx, qt_idx, num_groups, num_tiles)
+        )
+    qvb = qvb_ref[...] if has_qvb else None
+    for i in range(group):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        if has_qvb:
+            q = _qv_biased(q, qvb[0], sl)
+            v = _qv_biased(v, qvb[2], sl)
+        bias = bias_ref[i].astype(jnp.float32)[None] if has_bias else None
+        s = _scores(q, k, None, scale)
+        if bias is not None:
+            s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        if want_lse:
+            # 4-D [B, G, N, group] layout: the block is full in its last dim,
+            # which Mosaic requires when group < num_heads.
+            lse_ref[:, 0, :, i:i + 1] = m - jnp.log(r)
+        if dropout_rate > 0.0:
+            e = e * _dropout_mask(e.shape, dropout_rate)
+        out = jax.lax.dot_general(
+            e.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * r
+        o_ref[:, :, sl] = out.astype(o_ref.dtype)
+
+
+def _stream_recompute_tile(q, k, v, g_t, bias, lse_i, scale, dropout_rate,
+                           valid=None):
+    """Shared bwd tile algebra: (p, ds) from the saved lse (see _bwd_kernel
+    for the derivation). `valid` masks ragged-last-tile query rows whose
+    loads are OOB garbage — required wherever p/ds feed an accumulation
+    (dk/dv); plain stores are masked by Pallas itself."""
+    s = _scores(q, k, None, scale)
+    if bias is not None:
+        s = s + bias
+    p = jnp.exp(s - lse_i)
+    if valid is not None:
+        p = jnp.where(valid, p, 0.0)
+    if dropout_rate > 0.0:
+        p_d = p * _dropout_mask(p.shape, dropout_rate)
+    else:
+        p_d = p
+    dp_raw = jax.lax.dot_general(
+        g_t, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    t = dp_raw * p_d
+    c = jnp.sum(t, axis=-1, keepdims=True)
+    ds = t - p * c
+    return p_d, ds
+
+
+def _stream_bwd_dq_kernel(refs, *, scale, dropout_rate, group, head_dim,
+                          num_groups, num_tiles, has_bias, has_qvb,
+                          seq_len, q_tile):
+    # seq_len/q_tile unused: dq and dbias garbage rows die at the masked
+    # block store; only the dkv kernel's accumulations need explicit masking.
+    del seq_len, q_tile
+    it = iter(refs)
+    seed_ref = next(it)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    bias_ref = next(it) if has_bias else None
+    qvb_ref = next(it) if has_qvb else None
+    lse_ref, g_ref = next(it), next(it)
+    dq_ref = next(it)
+    dbias_ref = next(it) if has_bias else None
+
+    g_idx, qt_idx, b_idx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(
+            _stream_seed(seed_ref, b_idx, g_idx, qt_idx, num_groups, num_tiles)
+        )
+
+    @pl.when(b_idx == 0)
+    def _():
+        if has_bias:
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    qvb = qvb_ref[...] if has_qvb else None
+    for i in range(group):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        if has_qvb:
+            q = _qv_biased(q, qvb[0], sl)
+            v = _qv_biased(v, qvb[2], sl)
+        g_t = g_ref[:, :, sl]
+        bias = bias_ref[i].astype(jnp.float32)[None] if has_bias else None
+        _, ds = _stream_recompute_tile(
+            q, k, v, g_t, bias, lse_ref[:, 0, :, i:i + 1], scale, dropout_rate
+        )
+        dq = jax.lax.dot_general(
+            ds.astype(q_ref.dtype), k, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        if has_bias:
+            dbias_ref[i] += jnp.sum(ds, axis=0)
+
+
+def _stream_bwd_dkv_kernel(refs, *, scale, dropout_rate, group, head_dim,
+                           num_groups, num_tiles, has_bias, has_qvb,
+                           seq_len, q_tile):
+    it = iter(refs)
+    seed_ref = next(it)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    bias_ref = next(it) if has_bias else None
+    qvb_ref = next(it) if has_qvb else None
+    lse_ref, g_ref = next(it), next(it)
+    dk_ref, dv_ref = next(it), next(it)
+
+    g_idx, b_idx, qt_idx = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    if dropout_rate > 0.0:
+        pltpu.prng_seed(
+            _stream_seed(seed_ref, b_idx, g_idx, qt_idx, num_groups, num_tiles)
+        )
+
+    @pl.when(qt_idx == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    # Ragged last tile: rows ≥ seq_len are OOB garbage but their p/ds feed
+    # the dk/dv accumulation — mask them (and g, whose garbage could be
+    # non-finite and poison 0·inf) to zero.
+    valid = None
+    if seq_len % q_tile != 0:
+        rows = qt_idx * q_tile + jax.lax.broadcasted_iota(
+            jnp.int32, (1, q_tile, 1), 1
+        )
+        valid = rows < seq_len
+
+    qvb = qvb_ref[...] if has_qvb else None
+    for i in range(group):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        if has_qvb:
+            q = _qv_biased(q, qvb[0], sl)
+            v = _qv_biased(v, qvb[2], sl)
+        g_t = g_ref[:, :, sl]
+        if valid is not None:
+            # dk/dv contract over query rows: zero every factor of a garbage
+            # row (0·NaN = NaN otherwise).
+            g_t = jnp.where(valid, g_t, jnp.zeros_like(g_t))
+            q = jnp.where(valid, q, jnp.zeros_like(q))
+        bias = bias_ref[i].astype(jnp.float32)[None] if has_bias else None
+        p_d, ds = _stream_recompute_tile(
+            q, k, v, g_t, bias, lse_ref[:, 0, :, i:i + 1], scale, dropout_rate,
+            valid=valid,
+        )
+        dv_ref[:, :, sl] += jax.lax.dot_general(
+            p_d.astype(g_t.dtype), g_t, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        dk_ref[:, :, sl] += jax.lax.dot_general(
+            ds.astype(q_ref.dtype), q, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+
+def _stream_common(qkv, num_heads):
+    b, n, c3 = qkv.shape
+    c = c3 // 3
+    head_dim = c // num_heads
+    plan = _stream_plan(head_dim, num_heads, n)
+    assert plan is not None, (num_heads, head_dim, n)
+    group, tq = plan
+    num_groups = num_heads // group
+    lanes = group * head_dim
+    return b, n, c, head_dim, group, num_groups, lanes, tq
+
+
+def _stream_io_specs(n, tq, lanes, group, num_groups, has_bias, has_qvb,
+                     order):
+    """in_specs (after the seed) for the streaming kernels. `order` maps the
+    grid axes to (b, g, qt) by name — e.g. fwd grid (B, G, QT) → 'b g q'."""
+    names = order.split()
+
+    def pick(*vals):
+        by = dict(zip(names, range(len(names))))
+        def f(key, default=0):
+            return vals[by[key]] if key in by else default
+        return f
+
+    def qtile_idx(offset_groups):
+        def im(*axes):
+            g = pick(*axes)
+            return (g("b"), g("q"), offset_groups + g("g"))
+        return im
+
+    def full_idx(offset_groups):
+        def im(*axes):
+            g = pick(*axes)
+            return (g("b"), 0, offset_groups + g("g"))
+        return im
+
+    specs = [
+        pl.BlockSpec((1, tq, lanes), qtile_idx(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, lanes), full_idx(num_groups), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n, lanes), full_idx(2 * num_groups), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        def bias_im(*axes):
+            g = pick(*axes)
+            return (g("g"), g("q"), 0)
+        specs.append(
+            pl.BlockSpec((group, tq, n), bias_im, memory_space=pltpu.VMEM)
+        )
+    if has_qvb:
+        def qvb_im(*axes):
+            g = pick(*axes)
+            return (0, g("g"))
+        specs.append(pl.BlockSpec((3, lanes), qvb_im, memory_space=pltpu.VMEM))
+
+    def lse_im(*axes):
+        g = pick(*axes)
+        return (g("b"), g("g"), g("q"), 0)
+
+    # lse lives as [B, G, N, group] so the block is FULL in its last dim —
+    # Mosaic rejects a partial last dim that isn't 128-aligned (group is
+    # typically 2 at these shapes).
+    lse_spec = pl.BlockSpec((1, 1, tq, group), lse_im, memory_space=pltpu.VMEM)
+    qtile_spec = pl.BlockSpec((1, tq, lanes), qtile_idx(0), memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec((1, n, lanes), full_idx(0), memory_space=pltpu.VMEM)
+    return specs, lse_spec, qtile_spec, full_spec
+
+
+def _stream_fwd_impl(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate,
+                     want_lse: bool = True):
+    b, n, c, head_dim, group, num_groups, lanes, tq = _stream_common(qkv, num_heads)
+    num_tiles = -(-n // tq)
+    has_bias, has_qvb = bias is not None, qv_bias is not None
+
+    specs, lse_spec, qtile_spec, _ = _stream_io_specs(
+        n, tq, lanes, group, num_groups, has_bias, has_qvb, "b g q"
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + specs
+    args = [seed, qkv, qkv, qkv]
+    if has_bias:
+        args.append(bias)
+    if has_qvb:
+        args.append(qv_bias)
+
+    kernel = functools.partial(
+        lambda *refs, **kw: _stream_fwd_kernel(refs, **kw),
+        scale=scale, dropout_rate=dropout_rate, group=group,
+        head_dim=head_dim, num_groups=num_groups, num_tiles=num_tiles,
+        has_bias=has_bias, has_qvb=has_qvb, want_lse=want_lse,
+    )
+    out_specs = [qtile_spec]
+    out_shapes = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype)]
+    if want_lse:
+        out_specs.append(lse_spec)
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, num_groups, n, group), jnp.float32)
+        )
+    outs = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(b, num_groups, num_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * n * n * head_dim,
+            bytes_accessed=2 * b * n * 3 * c * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+    )(*args)
+    return (outs[0], outs[1]) if want_lse else (outs[0], None)
+
+
+def _stream_bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads,
+                     dropout_rate):
+    b, n, c, head_dim, group, num_groups, lanes, tq = _stream_common(qkv, num_heads)
+    num_tiles = -(-n // tq)
+    has_bias, has_qvb = bias is not None, qv_bias is not None
+    kw = dict(
+        scale=scale, dropout_rate=dropout_rate, group=group,
+        head_dim=head_dim, num_groups=num_groups, num_tiles=num_tiles,
+        has_bias=has_bias, has_qvb=has_qvb, seq_len=n, q_tile=tq,
+    )
+
+    # kernel 1: dq (written once per tile) + dbias (accumulated over batch)
+    specs, lse_spec, qtile_spec, _ = _stream_io_specs(
+        n, tq, lanes, group, num_groups, has_bias, has_qvb, "g q b"
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + specs + [lse_spec, qtile_spec]
+    args = [seed, qkv, qkv, qkv]
+    if has_bias:
+        args.append(bias)
+    if has_qvb:
+        args.append(qv_bias)
+    args += [lse, g]
+    out_specs = [qtile_spec]
+    out_shapes = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype)]
+    if has_bias:
+        def dbias_im(gg, qt, b_):
+            return (gg, qt, 0)
+        out_specs.append(
+            pl.BlockSpec((group, tq, n), dbias_im, memory_space=pltpu.VMEM)
+        )
+        out_shapes.append(jax.ShapeDtypeStruct(bias.shape, jnp.float32))
+    outs1 = pl.pallas_call(
+        functools.partial(lambda *refs, **k: _stream_bwd_dq_kernel(refs, **k), **kw),
+        interpret=INTERPRET,
+        grid=(num_groups, num_tiles, b),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * num_heads * n * n * head_dim,
+            bytes_accessed=3 * b * n * 3 * c * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+    )(*args)
+    dq = outs1[0]
+    dbias = outs1[1].astype(bias.dtype) if has_bias else None
+
+    # kernel 2: dk/dv (accumulated over q-tiles in f32 outputs)
+    specs, lse_spec, qtile_spec, full_spec = _stream_io_specs(
+        n, tq, lanes, group, num_groups, has_bias, has_qvb, "g b q"
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + specs + [lse_spec, qtile_spec]
+    outs2 = pl.pallas_call(
+        functools.partial(lambda *refs, **k: _stream_bwd_dkv_kernel(refs, **k), **kw),
+        interpret=INTERPRET,
+        grid=(num_groups, b, num_tiles),
+        in_specs=in_specs,
+        out_specs=[full_spec, full_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, n, c), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * num_heads * n * n * head_dim,
+            bytes_accessed=3 * b * n * 3 * c * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * n * n,
+        ),
+    )(*args)
+    dk = outs2[0].astype(qkv.dtype)
+    dv = outs2[1].astype(qkv.dtype)
+
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    if qv_bias is None:
+        dqvb = None
+    else:
+        dqvb = dqkv.reshape(b, n, 3, c).astype(jnp.float32).sum(axis=(0, 1))
+        dqvb = dqvb.astype(qv_bias.dtype)
+    return dqkv, dbias, dqvb
+
+
+def _route(num_heads: int, head_dim: int, n: int) -> Optional[str]:
+    if not _FORCE_STREAM and _head_group(head_dim, num_heads, n) > 0:
+        return "fused"
+    if _stream_plan(head_dim, num_heads, n) is not None:
+        return "stream"
+    return None
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_qkv_attention(
     qkv: jnp.ndarray,
@@ -443,20 +887,36 @@ def fused_qkv_attention(
     ops.attention.naive_attention(softmax); dropout masks are the kernel's
     own (pltpu prng), deterministic per (seed, batch, head).
     """
-    out, _ = _fwd_impl(
+    fwd = _dispatch_fwd(qkv, num_heads)
+    out, _ = fwd(
         qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate, want_lse=False
     )
     return out
 
 
+def _dispatch_fwd(qkv, num_heads):
+    c = qkv.shape[-1] // 3
+    route = _route(num_heads, c // num_heads, qkv.shape[1])
+    assert route is not None, (num_heads, c // num_heads, qkv.shape[1])
+    return _fwd_impl if route == "fused" else _stream_fwd_impl
+
+
+def _dispatch_bwd(qkv, num_heads):
+    c = qkv.shape[-1] // 3
+    route = _route(num_heads, c // num_heads, qkv.shape[1])
+    return _bwd_impl if route == "fused" else _stream_bwd_impl
+
+
 def _fused_fwd(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate):
-    out, lse = _fwd_impl(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate)
+    fwd = _dispatch_fwd(qkv, num_heads)
+    out, lse = fwd(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate)
     return out, (qkv, bias, qv_bias, seed, lse)
 
 
 def _fused_bwd(scale, num_heads, dropout_rate, res, g):
     qkv, bias, qv_bias, seed, lse = res
-    dqkv, dbias, dqvb = _bwd_impl(
+    bwd = _dispatch_bwd(qkv, num_heads)
+    dqkv, dbias, dqvb = bwd(
         qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate
     )
     return (dqkv, dbias, dqvb, None)
