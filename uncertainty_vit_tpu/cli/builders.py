@@ -28,6 +28,11 @@ def add_model_args(p: argparse.ArgumentParser):
     g.add_argument("--input_size", default=224, type=int)
     g.add_argument("--drop", type=float, default=0.0)
     g.add_argument("--attn_drop_rate", type=float, default=0.0)
+    g.add_argument("--dropout_from_block", type=int, default=0,
+                   help="first block index where --drop/--attn_drop_rate are "
+                        "active (blocks below carry no dropout); with "
+                        "--mc_dropout_split_at == this value, split-trunk "
+                        "MC-dropout is exact")
     g.add_argument("--drop_path", type=float, default=0.1)
     g.add_argument("--layer_scale_init_value", default=0.1, type=float)
     # boolean literals (True/False) so every combination is expressible —
@@ -144,6 +149,7 @@ def model_config_from_args(args, num_classes: int) -> ViTConfig:
         num_classes=num_classes,
         drop_rate=args.drop,
         attn_drop_rate=args.attn_drop_rate,
+        dropout_from_block=args.dropout_from_block,
         drop_path_rate=args.drop_path,
         init_values=args.layer_scale_init_value or None,
         # 1:1 flag mapping, no coupling: the reference allows abs_pos_emb and

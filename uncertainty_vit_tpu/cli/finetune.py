@@ -64,6 +64,12 @@ def get_args_parser():
     e.add_argument("--eval", action="store_true")
     e.add_argument("--mc_dropout", action="store_true")
     e.add_argument("--mc_dropout_forwards", type=int, default=8)
+    e.add_argument("--mc_dropout_split_at", type=int, default=0,
+                   help="share blocks [0, s) across the K samples (one "
+                        "deterministic trunk pass). EXACT MC-dropout when "
+                        "--dropout_from_block >= s; otherwise a documented "
+                        "last-layers approximation. Meets the K=8 <= 4x "
+                        "cost target at s >= 8 (depth 12)")
     e.add_argument("--ensembles", action="store_true")
     e.add_argument("--ensemble_checkpoints", type=str, nargs="*", default=[])
     e.add_argument("--corrupted_data", action="store_true")
@@ -186,7 +192,10 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
         elif args.mc_dropout:
             from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
-            mc = make_mc_dropout_mean_forward(_mc_eval_model(model), args.mc_dropout_forwards)
+            mc = make_mc_dropout_mean_forward(
+                _mc_eval_model(model), args.mc_dropout_forwards,
+                split_at=args.mc_dropout_split_at,
+            )
             fwd = lambda imgs: mc(variables, imgs, jax.random.PRNGKey(0))
         elif args.ensembles:
             # ensembles_c_evaluate (uncertainty_evaluations.py:393-476):
@@ -250,7 +259,10 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
             # mc_dropout_p_evaluate (uncertainty_evaluations.py:661-720):
             # mean of K dropout-enabled logits per frame, drop-path off
             from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
-            mc = make_mc_dropout_mean_forward(_mc_eval_model(model), args.mc_dropout_forwards)
+            mc = make_mc_dropout_mean_forward(
+                _mc_eval_model(model), args.mc_dropout_forwards,
+                split_at=args.mc_dropout_split_at,
+            )
             fwd = lambda imgs: mc(variables, imgs, jax.random.PRNGKey(0))
         else:
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
@@ -272,6 +284,7 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
         results["mc_dropout"] = E.evaluate_mc_dropout(
             _mc_eval_model(model), variables, batches(),
             num_samples=args.mc_dropout_forwards,
+            split_at=args.mc_dropout_split_at,
         )
     elif args.ensembles:
         results["ensembles"] = E.evaluate_ensemble(

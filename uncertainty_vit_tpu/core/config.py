@@ -36,6 +36,13 @@ class ViTConfig:
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    # First block index where drop_rate/attn_drop_rate are active; blocks
+    # below it (and pos_drop when > 0) carry NO dropout. With
+    # dropout_from_block == s, split-trunk MC-dropout at mc_split == s is
+    # EXACT full MC-dropout (the shared trunk is deterministic by
+    # construction) — the configuration that meets the K=8 ≤ 4× target
+    # honestly. 0 (default) = reference behavior, dropout everywhere.
+    dropout_from_block: int = 0
 
     # Layer scale (modeling_finetune.py:284-288). None/0 disables.
     init_values: Optional[float] = None

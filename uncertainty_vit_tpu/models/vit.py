@@ -84,7 +84,8 @@ class ViTBackbone(nn.Module):
         if cfg.use_abs_pos_emb:
             pos_embed = self.param("pos_embed", tn, (1, cfg.num_patches + 1, cfg.embed_dim))
             x = x + pos_embed.astype(self.dtype)
-        x = nn.Dropout(cfg.drop_rate, deterministic=deterministic, name="pos_drop")(x)
+        pos_drop_rate = cfg.drop_rate if cfg.dropout_from_block == 0 else 0.0
+        x = nn.Dropout(pos_drop_rate, deterministic=deterministic, name="pos_drop")(x)
 
         rel_pos_bias = None
         if cfg.use_shared_rel_pos_bias:
@@ -105,8 +106,8 @@ class ViTBackbone(nn.Module):
                 mlp_ratio=cfg.mlp_ratio,
                 qkv_bias=cfg.qkv_bias,
                 qk_scale=cfg.qk_scale,
-                drop=cfg.drop_rate,
-                attn_drop=cfg.attn_drop_rate,
+                drop=cfg.drop_rate if i >= cfg.dropout_from_block else 0.0,
+                attn_drop=cfg.attn_drop_rate if i >= cfg.dropout_from_block else 0.0,
                 drop_path_rate=float(dpr[i]),
                 init_values=cfg.init_values,
                 window_size=cfg.grid_size if cfg.use_rel_pos_bias else None,

@@ -156,7 +156,8 @@ def _fwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
 
 
 def _bwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
-                head_dim: int, num_groups: int, has_bias: bool, has_qvb: bool):
+                head_dim: int, num_groups: int, has_bias: bool, has_qvb: bool,
+                single_out: bool = False):
     # grid is (G, B): head-group outer, batch inner → dbias_ref revisits the
     # same block across b steps and accumulates in VMEM.
     it = iter(refs)
@@ -165,7 +166,17 @@ def _bwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
     bias_ref = next(it) if has_bias else None
     qvb_ref = next(it) if has_qvb else None
     lse_ref, g_ref = next(it), next(it)
-    dq_ref, dk_ref, dv_ref = next(it), next(it), next(it)
+    if single_out:
+        # one packed [bb, n, 3C] block — dq|dk|dv written at column offsets,
+        # so the caller never pays the [B, N, 3C] concatenate pass
+        # (~0.28 ms/layer of pure HBM copy at ViT-B/224 batch 128). Only
+        # valid when the head group spans all heads (num_groups == 1).
+        dq_ref = dk_ref = dv_ref = next(it)
+        lanes = group * head_dim
+        k_off, v_off = lanes, 2 * lanes
+    else:
+        dq_ref, dk_ref, dv_ref = next(it), next(it), next(it)
+        k_off = v_off = 0
     dbias_ref = next(it) if has_bias else None
 
     g_idx = pl.program_id(0)
@@ -223,8 +234,8 @@ def _bwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
         ) * scale
 
         dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
+        dk_ref[:, :, slice(k_off + sl.start, k_off + sl.stop)] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, slice(v_off + sl.start, v_off + sl.stop)] = dv.astype(dv_ref.dtype)
         if has_bias:
             dbias_ref[i] += jnp.sum(ds, axis=0)
 
@@ -381,11 +392,20 @@ def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
     )
     args.append(g)
 
-    grad_spec = pl.BlockSpec(
-        (bb, n, lanes), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM
-    )
-    out_specs = [grad_spec, grad_spec, grad_spec]
-    out_shapes = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype)] * 3
+    single_out = num_groups == 1
+    if single_out:
+        out_specs = [
+            pl.BlockSpec(
+                (bb, n, 3 * c), lambda gg, b_: (b_, 0, 0), memory_space=pltpu.VMEM
+            )
+        ]
+        out_shapes = [jax.ShapeDtypeStruct((b, n, 3 * c), qkv.dtype)]
+    else:
+        grad_spec = pl.BlockSpec(
+            (bb, n, lanes), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM
+        )
+        out_specs = [grad_spec, grad_spec, grad_spec]
+        out_shapes = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype)] * 3
     if has_bias:
         out_specs.append(
             pl.BlockSpec((group, n, n), lambda gg, b_: (gg, 0, 0), memory_space=pltpu.VMEM)
@@ -397,6 +417,7 @@ def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
         scale=scale, dropout_rate=dropout_rate, group=group,
         head_dim=head_dim, num_groups=num_groups,
         has_bias=has_bias, has_qvb=qv_bias is not None,
+        single_out=single_out,
     )
     outs = pl.pallas_call(
         kernel,
@@ -412,9 +433,13 @@ def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
         ),
     )(*args)
 
-    dq, dk, dv = outs[:3]
-    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
-    dbias = outs[3].astype(bias.dtype) if has_bias else None
+    if single_out:
+        dqkv = outs[0]
+        dbias = outs[1].astype(bias.dtype) if has_bias else None
+    else:
+        dq, dk, dv = outs[:3]
+        dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+        dbias = outs[3].astype(bias.dtype) if has_bias else None
     if qv_bias is None:
         dqvb = None
     else:
