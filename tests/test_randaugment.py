@@ -111,3 +111,54 @@ def test_finetune_pipeline_with_aa():
     )
     assert out.shape == (4, 32, 32, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_shear_warp_matches_affine_warp_bilinear():
+    """The gather-free 3-shear (Paeth) warp equals the direct bilinear warp
+    for unimodular maps, away from the zero-fill border (sequential passes
+    fill slightly different border pixels; interior must agree)."""
+    # smooth (band-limited) test image: multi-pass shear resampling and
+    # direct bilinear agree closely on smooth content; white noise is the
+    # pathological case for comparing any two resamplers (3-shear rotation
+    # is slightly softer — the classic Paeth trade-off, documented).
+    yy, xx = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+    base = 0.5 + 0.25 * np.sin(2 * np.pi * yy / 12.0) * np.cos(2 * np.pi * xx / 10.0)
+    x = planar(np.stack([np.stack([base, base.T])] * 3) *
+               np.asarray([1.0, 0.8, 0.6]).reshape(3, 1, 1, 1))
+    th = jnp.deg2rad(jnp.asarray([17.0, -25.0, 0.0]))
+    shear = jnp.asarray([0.0, 0.1, -0.2])
+    # rotation ∘ shear_x compositions (unimodular, like RandAugment draws)
+    rot = jnp.stack([
+        jnp.stack([jnp.cos(th), -jnp.sin(th), jnp.asarray([1.5, 0.0, -2.0])], -1),
+        jnp.stack([jnp.sin(th), jnp.cos(th), jnp.asarray([0.0, 2.5, 1.0])], -1),
+    ], axis=-2)
+    sh = jnp.stack([
+        jnp.stack([jnp.ones(3), jnp.zeros(3), jnp.zeros(3)], -1),
+        jnp.stack([shear, jnp.ones(3), jnp.zeros(3)], -1),
+    ], axis=-2)
+    hom = jnp.broadcast_to(jnp.asarray([[0.0, 0.0, 1.0]]), (3, 1, 3))
+    mats = jnp.einsum(
+        "bij,bjk->bik",
+        jnp.concatenate([rot, hom], 1), jnp.concatenate([sh, hom], 1)
+    )[:, :2, :]
+
+    ref = np.asarray(RA.affine_warp(x, mats, method="bilinear"))
+    out = np.asarray(RA.shear_warp(x, mats))
+    # compare where BOTH consider the pixel valid (non-fill): use a margin
+    interior = np.zeros_like(ref, bool)
+    interior[:, :, 8:-8, 8:-8] = True
+    mask = interior & (ref > 1e-6) & (out > 1e-6)
+    np.testing.assert_allclose(out[mask], ref[mask], atol=0.08)
+    # bulk agreement: mean abs difference over the interior is small
+    assert np.abs((out - ref)[interior]).mean() < 0.01
+
+
+def test_shear_warp_identity_and_translate_exact():
+    x = planar(np.random.RandomState(7).rand(2, 3, 8, 8))
+    identity = jnp.tile(jnp.asarray([[1, 0, 0], [0, 1, 0]], jnp.float32), (2, 1, 1))
+    np.testing.assert_allclose(np.asarray(RA.shear_warp(x, identity)),
+                               np.asarray(x), atol=1e-5)
+    t = jnp.tile(jnp.asarray([[1, 0, 0], [0, 1, 2]], jnp.float32), (2, 1, 1))
+    out = np.asarray(RA.shear_warp(x, t))
+    np.testing.assert_allclose(out[:, :, :, :6], np.asarray(x)[:, :, :, 2:], atol=1e-5)
+    np.testing.assert_allclose(out[:, :, :, 6:], 0.0, atol=1e-5)

@@ -48,26 +48,48 @@ def autocontrast(x):
     return jnp.clip((x - lo) * scale, 0.0, 1.0)
 
 
-def equalize(x, hist_stride: int = 4):
-    """cdf-LUT histogram equalization per channel (PIL approximation).
+def apply_lut(x, lut):
+    """Apply a per-(sample, channel) 256-entry LUT to [B, C, H, W] pixels.
 
-    TPU formulation chosen by measurement: the cdf comes from
-    sort + searchsorted on a strided subsample (batched gathers are ~100×
-    slower than sort on this backend), and the LUT applies via a one-hot
-    matmul on the MXU rather than a per-pixel gather (~14× faster)."""
+    TWO-LEVEL 16×16 bilinear form — one-hot(high nibble) @ T, masked by
+    one-hot(low nibble) — whose [pixels, 16] intermediates carry 16× less
+    HBM than a flat [pixels, 256] one-hot (measured ~30 ms → ~1.5 ms
+    in-jit at batch 128×224²). 256-level quantization of the input IS the
+    PIL/uint8 semantics every pointwise RandAugment op is defined on."""
     b, c, h, w = x.shape
-    sub = jnp.sort(x[:, :, ::hist_stride, ::hist_stride].reshape(b, c, -1), axis=-1)
-    levels = jnp.linspace(0.0, 1.0, 257)[1:]  # upper edges of 256 bins
-    cdf = jax.vmap(jax.vmap(lambda row: jnp.searchsorted(row, levels)))(sub)
-    lut = cdf.astype(jnp.float32) / sub.shape[-1]  # [B, C, 256] in [0, 1]
-
-    q = jnp.clip((x * 255.0).astype(jnp.int32), 0, 255).reshape(b, c, -1)
-    onehot = jax.nn.one_hot(q, 256, dtype=jnp.bfloat16)
-    out = jnp.einsum(
-        "bcpl,bcl->bcp", onehot, lut.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0), 0, 255).astype(
+        jnp.int32
+    ).reshape(b, c, -1)
+    hi, lo = q >> 4, q & 15
+    table = lut.reshape(b, c, 16, 16).astype(jnp.bfloat16)  # T[hi, lo]
+    oh_hi = jax.nn.one_hot(hi, 16, dtype=jnp.bfloat16)
+    rows = jnp.einsum("bcpi,bcij->bcpj", oh_hi, table)
+    oh_lo = jax.nn.one_hot(lo, 16, dtype=jnp.bfloat16)
+    out = (rows * oh_lo).sum(-1)
     return out.reshape(b, c, h, w).astype(x.dtype)
+
+
+def equalize_lut(x, hist_stride: int = 4):
+    """Per-(sample, channel) equalization cdf LUT [B, C, 256] (PIL
+    approximation) from a strided subsample. The histogram is a two-level
+    one-hot matmul (nibble outer product, f32 accumulation) — sort +
+    searchsorted measured 18 ms in-jit at batch 128 (XLA lowers the batched
+    binary search to gather chains); this runs in ~1 ms."""
+    b, c = x.shape[0], x.shape[1]
+    sub = x[:, :, ::hist_stride, ::hist_stride].reshape(b, c, -1)
+    q = jnp.clip(jnp.round(sub.astype(jnp.float32) * 255.0), 0, 255).astype(jnp.int32)
+    oh_hi = jax.nn.one_hot(q >> 4, 16, dtype=jnp.bfloat16)
+    oh_lo = jax.nn.one_hot(q & 15, 16, dtype=jnp.bfloat16)
+    hist = jnp.einsum(
+        "bcpi,bcpj->bcij", oh_hi, oh_lo, preferred_element_type=jnp.float32
+    ).reshape(b, c, 256)
+    cdf = jnp.cumsum(hist, axis=-1)
+    return cdf / cdf[..., -1:]
+
+
+def equalize(x, hist_stride: int = 4):
+    """cdf-LUT histogram equalization per channel (PIL approximation)."""
+    return apply_lut(x, equalize_lut(x, hist_stride))
 
 
 def invert(x):
@@ -164,6 +186,79 @@ def affine_warp(x, mats, method: str = "nearest"):
     return out.reshape(b, c, h, w)
 
 
+# ---------------------------------------------------------------------------
+# Roll-based shear warp (gather-free)
+# ---------------------------------------------------------------------------
+#
+# take_along_axis gathers run at scalar rate on this backend (~57 ms for one
+# nearest warp at batch 128×224²). RandAugment's geometric ops are all
+# UNIMODULAR (rotations, shears, translations — never scale), so any
+# composition decomposes into three axis-aligned shear passes
+# (Paeth/Tanaka 3-shear rotation, generalized):
+#     M = Shx(αL, tL=0) · Shy(β, tC) · Shx(αR, tR)
+# with β = m01, αL = (m11−1)/m01, αR = (m00−1)/m01 (safe branch for
+# m01 → 0). Each pass shifts every row (or column) by a per-row constant —
+# expressed as 8 binary conditional jnp.rolls (contiguous vector copies) +
+# a 2-tap fractional blend, so the whole warp is rolls, selects, and
+# multiplies: no gathers. Bilinear quality matches the classic 3-shear
+# rotation; zero fill applied per pass.
+
+
+def _shift_pass(x, delta, axis: int):
+    """out[..., i, ...] = x[..., i + delta, ...] along `axis` (bilinear,
+    zero fill). delta: [B, L_other] per-sample per-orthogonal-line shifts."""
+    b = x.shape[0]
+    n = x.shape[axis]
+    k = jnp.floor(delta)
+    frac = (delta - k).astype(x.dtype)  # [B, L]
+    # out0[i] = x[i + k]  ⇔  roll by −k (mod n)
+    neg = jnp.mod(-k.astype(jnp.int32), n)
+    if axis == 3:
+        expand = lambda t: t[:, None, :, None]   # lines indexed by y
+    else:
+        expand = lambda t: t[:, None, None, :]   # lines indexed by x
+    out = x
+    for bit in range(max(1, (n - 1).bit_length())):
+        m = ((neg >> bit) & 1).astype(bool)
+        out = jnp.where(expand(m), jnp.roll(out, 1 << bit, axis=axis), out)
+    tap1 = jnp.roll(out, -1, axis=axis)
+    f = expand(frac)
+    res = out * (1 - f) + tap1 * f
+    # zero-fill where the (pre-wrap) source coordinate leaves the image
+    pos = jnp.arange(n, dtype=jnp.float32)
+    if axis == 3:
+        src = pos[None, None, :] + delta[:, :, None]      # [B, H, W]
+        valid = ((src >= 0) & (src <= n - 1))[:, None, :, :]
+    else:
+        src = pos[None, :, None] + delta[:, None, :]      # [B, H, W]
+        valid = ((src >= 0) & (src <= n - 1))[:, None, :, :]
+    return res * valid.astype(x.dtype)
+
+
+def shear_warp(x, mats):
+    """Gather-free equivalent of affine_warp(…, 'bilinear') for unimodular
+    mats [B, 2, 3] (output (y, x, 1) centered → input (y, x) centered)."""
+    b, c, h, w = x.shape
+    m00, m01, m02 = mats[:, 0, 0], mats[:, 0, 1], mats[:, 0, 2]
+    m10, m11, m12 = mats[:, 1, 0], mats[:, 1, 1], mats[:, 1, 2]
+
+    tiny = jnp.abs(m01) < 1e-6
+    safe = jnp.where(tiny, 1.0, m01)
+    beta = m01
+    a_l = jnp.where(tiny, m10, (m11 - 1.0) / safe)
+    a_r = jnp.where(tiny, jnp.zeros_like(m00), (m00 - 1.0) / safe)
+    t_r = m12 - a_l * m02
+    t_c = m02 - beta * t_r
+
+    yy = jnp.arange(h, dtype=jnp.float32) - (h - 1) / 2.0
+    xx = jnp.arange(w, dtype=jnp.float32) - (w - 1) / 2.0
+
+    # image-order: L pass first, then C, then R (final[p] = x[L·C·R·p])
+    x1 = _shift_pass(x, a_l[:, None] * yy[None, :], axis=3)
+    x2 = _shift_pass(x1, beta[:, None] * xx[None, :] + t_c[:, None], axis=2)
+    return _shift_pass(x2, a_r[:, None] * yy[None, :] + t_r[:, None], axis=3)
+
+
 def _affine_for_op(op_idx, magnitude, sign, h: int, w: int):
     """Per-sample affine matrix (output→input) for the selected geometric op;
     identity for non-geometric ops. op_idx/magnitude/sign: [B]."""
@@ -203,7 +298,25 @@ def _affine_for_op(op_idx, magnitude, sign, h: int, w: int):
 # ---------------------------------------------------------------------------
 
 def _one_round(key, x, magnitude_mean: float, magnitude_std: float, prob: float):
-    b = x.shape[0]
+    """One RandAugment round. Cost model (the whole point of this layout):
+
+    - 8 of the 15 ops are per-channel POINTWISE maps — their action is fully
+      described by a 256-entry LUT, so instead of computing each op on the
+      full [B, C, H, W] image and selecting ("compute-all-select", ~80 ms a
+      round at batch 128×224²), the ops are evaluated on the 256 LEVELS
+      (B·C·256 elements — free), the per-sample LUT is selected, and ONE
+      apply_lut pass touches the pixels. 256-level quantization is exactly
+      the uint8 domain PIL defines these ops on.
+    - color (channel mix) and sharpness (3×3 blend) are not pointwise and
+      keep full-image evaluation.
+    - geometric ops return their affine matrix; the driver applies ONE
+      composed shear warp after all rounds (warps compose exactly as matrix
+      products; a single resample halves cost and avoids double-blur).
+      Pixel ops are pointwise, so commuting them past the warp only changes
+      the zero-fill border (documented approximation vs timm's strictly
+      sequential application).
+    """
+    b, c = x.shape[0], x.shape[1]
     h, w = x.shape[2], x.shape[3]
     k_op, k_mag, k_sign, k_apply = jax.random.split(key, 4)
     op_idx = jax.random.randint(k_op, (b,), 0, NUM_OPS)
@@ -216,33 +329,49 @@ def _one_round(key, x, magnitude_mean: float, magnitude_std: float, prob: float)
     frac = mag / 10.0
     enhance_f = 1.0 + sign * 0.9 * frac  # timm increasing enhance factor
 
-    results = [
-        autocontrast(x),
-        equalize(x),
-        invert(x),
-        None,  # geometric ops handled jointly below
-        posterize(x, jnp.maximum(4 - jnp.floor(frac * 4), 1).astype(jnp.int32)),
-        solarize(x, 1.0 - frac),
-        solarize_add(x, frac * 110.0 / 255.0),
-        color(x, enhance_f),
-        contrast(x, enhance_f),
-        brightness(x, enhance_f),
-        sharpness(x, enhance_f),
-    ]
+    # ---- per-sample 256-entry LUTs for the pointwise ops ----
+    v = jnp.linspace(0.0, 1.0, 256)[None, None, :]           # [1, 1, 256]
+    flat = x.reshape(b, c, -1).astype(jnp.float32)
+    lo = flat.min(-1)[..., None]                             # [B, C, 1]
+    hi = flat.max(-1)[..., None]
+    ac_scale = jnp.where(hi > lo, 1.0 / (hi - lo), 1.0)
+    gray_mean = _gray(x).astype(jnp.float32).mean(axis=(2, 3))  # [B, 1]
+    f1 = enhance_f[:, None, None].astype(jnp.float32)
+    bits = jnp.maximum(4 - jnp.floor(frac * 4), 1.0)[:, None, None]
+    levels = 2.0 ** bits
+    keep = 256.0 / levels
 
-    out = x
-    for i, r in enumerate(results):
-        if r is None:
-            continue
-        sel = (op_idx == i)[:, None, None, None]
-        out = jnp.where(sel, r, out)
+    luts = {
+        AUTOCONTRAST: jnp.clip((v - lo) * ac_scale, 0.0, 1.0),
+        EQUALIZE: equalize_lut(x),
+        INVERT: jnp.broadcast_to(1.0 - v, (b, c, 256)),
+        POSTERIZE: jnp.floor(v * 255.0 / keep) * keep / 255.0,
+        SOLARIZE: jnp.where(v >= (1.0 - frac)[:, None, None], 1.0 - v, v),
+        SOLARIZE_ADD: jnp.where(
+            v < 128.0 / 255.0,
+            jnp.clip(v + (frac * 110.0 / 255.0)[:, None, None], 0.0, 1.0), v,
+        ),
+        CONTRAST: jnp.clip(v * f1 + gray_mean[:, :, None] * (1.0 - f1), 0.0, 1.0),
+        BRIGHTNESS: jnp.clip(v * f1, 0.0, 1.0),
+    }
+    lut = jnp.broadcast_to(v, (b, c, 256))  # identity
+    for i, li in luts.items():
+        lut = jnp.where((op_idx == i)[:, None, None], jnp.broadcast_to(li, lut.shape), lut)
+    out = apply_lut(x, lut)
 
+    # ---- non-pointwise pixel ops ----
+    out = jnp.where((op_idx == COLOR)[:, None, None, None], color(x, enhance_f), out)
+    out = jnp.where((op_idx == SHARPNESS)[:, None, None, None], sharpness(x, enhance_f), out)
     is_geo = jnp.isin(op_idx, jnp.asarray(_GEOMETRIC))
-    mats = _affine_for_op(op_idx, mag, sign, h, w)
-    warped = affine_warp(x, mats)
-    out = jnp.where(is_geo[:, None, None, None], warped, out)
+    out = jnp.where(is_geo[:, None, None, None], x, out)
+    out = jnp.where(apply[:, None, None, None], out, x)
 
-    return jnp.where(apply[:, None, None, None], out, x)
+    mats = _affine_for_op(op_idx, mag, sign, h, w)
+    identity = jnp.broadcast_to(
+        jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]), mats.shape
+    )
+    mats = jnp.where((is_geo & apply)[:, None, None], mats, identity)
+    return out, mats
 
 
 @functools.partial(
@@ -263,6 +392,16 @@ def rand_augment_batch(
     """
     orig_dtype = imgs.dtype
     imgs = imgs.astype(jnp.bfloat16)
+    b = imgs.shape[0]
+    hom_row = jnp.broadcast_to(jnp.asarray([[0.0, 0.0, 1.0]]), (b, 1, 3))
+    total = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
     for r in range(num_layers):
-        imgs = _one_round(jax.random.fold_in(key, r), imgs, magnitude, magnitude_std, prob)
+        imgs, mats = _one_round(
+            jax.random.fold_in(key, r), imgs, magnitude, magnitude_std, prob
+        )
+        # warp_{A2}(warp_{A1}(x)) ≡ warp_{A1·A2}(x) for out→in maps
+        total = jnp.einsum(
+            "bij,bjk->bik", total, jnp.concatenate([mats, hom_row], axis=1)
+        )
+    imgs = shear_warp(imgs, total[:, :2, :])
     return imgs.astype(orig_dtype)
