@@ -18,21 +18,38 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
-def create_mesh(num_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
-    """1-D data axis × optional model axis over the available devices."""
+def create_mesh(
+    num_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    seq_parallel: int = 1,
+) -> Mesh:
+    """data × (optional) seq × (optional) model axes over the devices.
+
+    The 'seq' axis is the context-parallel extension for 384/512 inputs
+    (SURVEY §5.7): shard token activations P(data, seq, None) and XLA
+    inserts the attention all-gathers over ICI. With seq_parallel=1 the
+    axis is size 1 and every spec degenerates to the 2-D layout."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
-    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    assert n % (model_parallel * seq_parallel) == 0, (n, model_parallel, seq_parallel)
+    arr = np.asarray(devices).reshape(
+        n // (model_parallel * seq_parallel), seq_parallel, model_parallel
+    )
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
 
 
 def batch_spec() -> P:
     return P(DATA_AXIS)
+
+
+def token_spec() -> P:
+    """[B, N, C] activations: batch over data, tokens over seq."""
+    return P(DATA_AXIS, SEQ_AXIS, None)
 
 
 def param_spec(path: tuple, leaf: Any) -> P:

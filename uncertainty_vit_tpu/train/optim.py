@@ -137,14 +137,47 @@ def make_optimizer(
     if clip_grad is not None and clip_grad > 0:
         chain.append(optax.clip_by_global_norm(clip_grad))
 
-    if opt_name == "adamw":
+    # The reference's create_optimizer tail (optim_factory.py:100-182). The
+    # apex fused variants are CUDA kernels — on TPU every optimizer below is
+    # XLA-fused automatically, so `fused*` names map to their plain
+    # counterparts. sgdp/adamp/adahessian have no optax equivalent and error
+    # explicitly rather than silently falling back.
+    opt_name = opt_name.replace("fused", "") or "adamw"
+    lookahead = opt_name.startswith("lookahead_")
+    if lookahead:
+        opt_name = opt_name[len("lookahead_"):]
+    if opt_name in ("adamw", "adam"):
         chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    elif opt_name == "nadam":
+        chain.append(
+            optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps, nesterov=True)
+        )
+    elif opt_name == "radam":
+        chain.append(optax.scale_by_radam(b1=betas[0], b2=betas[1], eps=eps))
+    elif opt_name == "adadelta":
+        chain.append(optax.scale_by_adadelta(eps=eps))
+    elif opt_name == "novograd":
+        chain.append(optax.scale_by_novograd(b1=betas[0], b2=betas[1], eps=eps))
+    elif opt_name in ("rmsprop", "rmsproptf"):
+        # timm's rmsprop_tf: decay 0.9, eps inside the sqrt
+        chain.append(optax.scale_by_rms(decay=0.9, eps=eps, eps_in_sqrt=True))
     elif opt_name == "sgd":
         chain.append(optax.trace(decay=momentum, nesterov=True))
+    elif opt_name == "momentum":
+        chain.append(optax.trace(decay=momentum, nesterov=False))
+    elif opt_name == "lamb":
+        chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+        chain.append(optax.scale_by_trust_ratio())
+    elif opt_name == "lars":
+        chain.append(optax.trace(decay=momentum, nesterov=False))
+        chain.append(optax.scale_by_trust_ratio())
     elif opt_name == "adafactor":
         chain.append(optax.scale_by_factored_rms())
     else:
-        raise ValueError(f"unknown optimizer: {opt_name}")
+        raise ValueError(
+            f"optimizer '{opt_name}' is not supported on the TPU build "
+            "(no optax equivalent; reference optim_factory.py:100-182)"
+        )
 
     if weight_decay:
         mask = weight_decay_mask(params, skip_names)
@@ -158,9 +191,58 @@ def make_optimizer(
     chain.append(optax.scale_by_schedule(lambda step: -lr_schedule(step)))
 
     tx = optax.chain(*chain)
+    if lookahead:
+        tx = lookahead_wrapper(tx)
     if accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
+
+
+class LookaheadState(NamedTuple):
+    inner: Any
+    slow: Any
+    count: jnp.ndarray
+
+
+def lookahead_wrapper(
+    tx: optax.GradientTransformation, sync_period: int = 6, alpha: float = 0.5
+) -> optax.GradientTransformation:
+    """Lookahead (Zhang et al. 2019) as a plain GradientTransformation — the
+    reference wraps via timm's Lookahead (optim_factory.py:174-176). Unlike
+    optax.lookahead this keeps the param pytree unsplit (slow weights live
+    in the optimizer state), so the engines need no changes: every
+    sync_period updates, the emitted update retargets the params onto
+    slow + alpha·(fast − slow)."""
+
+    def init(params):
+        return LookaheadState(
+            inner=tx.init(params),
+            slow=jax.tree_util.tree_map(jnp.copy, params),
+            count=jnp.zeros([], jnp.int32),
+        )
+
+    def update(updates, state, params):
+        updates, inner = tx.update(updates, state.inner, params)
+        count = state.count + 1
+        sync = (count % sync_period) == 0
+
+        def step(u, p, s):
+            fast = p + u
+            slow_new = s + alpha * (fast - s)
+            u2 = jnp.where(sync, slow_new - p, u)
+            s2 = jnp.where(sync, slow_new, s)
+            return u2, s2
+
+        pairs = jax.tree_util.tree_map(step, updates, params, state.slow)
+        new_updates = jax.tree_util.tree_map(
+            lambda pr: pr[0], pairs, is_leaf=lambda t: isinstance(t, tuple)
+        )
+        new_slow = jax.tree_util.tree_map(
+            lambda pr: pr[1], pairs, is_leaf=lambda t: isinstance(t, tuple)
+        )
+        return new_updates, LookaheadState(inner=inner, slow=new_slow, count=count)
+
+    return optax.GradientTransformation(init, update)
 
 
 def freeze_all_except(
