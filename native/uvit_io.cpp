@@ -189,6 +189,61 @@ int decode_one_to_canvas(const char* path, int size, uint8_t* out) {
   return 0;
 }
 
+// Decode one file → shorter-side resize to `short_size`, longer side capped
+// at `canvas` (center-cropping only the extreme-aspect excess) → paste at
+// the top-left of a zeroed canvas×canvas square. Writes the valid extent to
+// valid_hw[0..1]. The square center-crop variant above always discards the
+// long-side margins BEFORE augmentation; this letterboxed form preserves
+// them so the device RandomResizedCrop samples the full image like the
+// reference's torchvision RRC (datasets.py:221-239).
+int decode_one_letterbox(const char* path, int short_size, int canvas,
+                         uint8_t* out, int32_t* valid_hw) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long len = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  if (len <= 0) {
+    fclose(f);
+    return 2;
+  }
+  std::vector<uint8_t> raw(len);
+  size_t got = fread(raw.data(), 1, len, f);
+  fclose(f);
+  if (got != static_cast<size_t>(len)) return 3;
+
+  std::vector<uint8_t> rgb;
+  int h = 0, w = 0;
+  if (!decode_jpeg_mem(raw.data(), raw.size(), &rgb, &h, &w)) return 4;
+
+  int nh, nw;
+  if (w <= h) {
+    nw = short_size;
+    nh = std::max(short_size, static_cast<int>(std::lround(
+                                  static_cast<double>(short_size) * h / w)));
+  } else {
+    nh = short_size;
+    nw = std::max(short_size, static_cast<int>(std::lround(
+                                  static_cast<double>(short_size) * w / h)));
+  }
+  std::vector<uint8_t> resized(static_cast<size_t>(nh) * nw * 3);
+  resize_bilinear(rgb.data(), h, w, resized.data(), nh, nw);
+
+  const int ch = std::min(nh, canvas);
+  const int cw = std::min(nw, canvas);
+  const int top = (nh - ch) / 2;
+  const int left = (nw - cw) / 2;
+  std::memset(out, 0, static_cast<size_t>(canvas) * canvas * 3);
+  for (int y = 0; y < ch; ++y) {
+    std::memcpy(out + static_cast<size_t>(y) * canvas * 3,
+                resized.data() + ((static_cast<size_t>(top) + y) * nw + left) * 3,
+                static_cast<size_t>(cw) * 3);
+  }
+  valid_hw[0] = ch;
+  valid_hw[1] = cw;
+  return 0;
+}
+
 void parallel_for(int n, int num_threads, const std::function<void(int)>& fn) {
   num_threads = std::max(1, std::min(num_threads, n));
   if (num_threads == 1) {
@@ -223,6 +278,18 @@ void uvit_decode_batch(const char** paths, int n, int size, uint8_t* out,
   });
 }
 
+// Letterboxed batch decode: [n, canvas, canvas, 3] zero-filled squares with
+// per-image valid extents in valid_hw [n, 2] (see decode_one_letterbox).
+void uvit_decode_batch_letterbox(const char** paths, int n, int short_size,
+                                 int canvas, uint8_t* out, int32_t* valid_hw,
+                                 int* statuses, int num_threads) {
+  const size_t item = static_cast<size_t>(canvas) * canvas * 3;
+  parallel_for(n, num_threads, [&](int i) {
+    statuses[i] = decode_one_letterbox(paths[i], short_size, canvas,
+                                       out + item * i, valid_hw + 2 * i);
+  });
+}
+
 // Parallel gather of n equally-sized items into one contiguous batch buffer.
 void uvit_assemble_batch(const uint8_t** srcs, int n, int64_t item_bytes,
                          uint8_t* out, int num_threads) {
@@ -231,6 +298,6 @@ void uvit_assemble_batch(const uint8_t** srcs, int n, int64_t item_bytes,
   });
 }
 
-int uvit_io_version() { return 1; }
+int uvit_io_version() { return 2; }
 
 }  // extern "C"

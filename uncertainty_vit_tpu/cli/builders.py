@@ -101,6 +101,11 @@ def add_data_args(p: argparse.ArgumentParser):
     g.add_argument("--crop_pct", type=float, default=None)
     g.add_argument("--decode_size", type=int, default=None,
                    help="host decode canvas size (defaults to input_size*8/7)")
+    g.add_argument("--decode_letterbox", default=False, type=ast.literal_eval,
+                   help="aspect-preserving decode with per-sample valid "
+                        "extents: the device RandomResizedCrop then samples "
+                        "the FULL image like torchvision's (the default "
+                        "square canvas center-crops the long side first)")
     g.add_argument("--semi_supervised_ratio", type=float, default=0.0)
     g.add_argument("--data_set_filter_file", type=str, default=None)
     return g
@@ -217,6 +222,7 @@ def build_loaders(args, is_train: bool, triplet: bool = False) -> Tuple[BatchLoa
         semi_supervised_ratio=getattr(args, "semi_supervised_ratio", 0.0) if is_train else 0.0,
         triplet=triplet,
         decode_size=decode,
+        letterbox=is_train and getattr(args, "decode_letterbox", False),
         data_set_filter_file=getattr(args, "data_set_filter_file", None) if is_train else None,
         seed=args.seed,
     )

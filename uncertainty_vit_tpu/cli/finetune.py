@@ -417,10 +417,13 @@ def main(args):
                 state, metrics = train_step(state, img, pos, neg, jnp.asarray(labels), rng)
             else:
                 images_u8, labels = batch[0], batch[-1]
+                # letterboxed batches carry per-sample valid extents so the
+                # RRC covers the full original image (--decode_letterbox)
+                vhw = jnp.asarray(batch[1]) if len(batch) == 3 else None
                 images = finetune_train_augment_batch(
                     akey, jnp.asarray(images_u8), args.input_size,
                     args.color_jitter, args.reprob,
-                    args.imagenet_default_mean_and_std, **aa_kw,
+                    args.imagenet_default_mean_and_std, valid_hw=vhw, **aa_kw,
                 )
                 state, metrics = train_step(state, images, jnp.asarray(labels), rng)
             loss = float(metrics["loss"])

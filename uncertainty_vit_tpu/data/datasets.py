@@ -32,6 +32,13 @@ import numpy as np
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", ".webp")
 
 
+def letterbox_canvas(decode_size: int) -> int:
+    """Square canvas side for letterboxed decode: 4/3 of the shorter side
+    (the RRC aspect range is 3/4..4/3, so wider margins are never sampled
+    anyway), rounded up to the 8-row sublane quantum."""
+    return -(-(decode_size * 4 // 3) // 8) * 8
+
+
 class ArrayDataset:
     """In-memory uint8 images [N, H, W, C] + labels [N]."""
 
@@ -148,9 +155,15 @@ class ImageFolder:
         root: str,
         decode_size: Optional[int] = None,
         is_valid_file: Optional[Callable[[str], bool]] = None,
+        letterbox: bool = False,
     ):
         self.root = root
         self.decode_size = decode_size
+        # letterbox: aspect-preserving decode onto a zero-filled square
+        # canvas with per-sample valid extents, so the on-device RRC samples
+        # the FULL image like torchvision's (the default square center-crop
+        # canvas can never see content outside the center — ADVICE r1 #4).
+        self.letterbox = letterbox
         classes, class_to_idx = find_classes(root)
         self.classes = classes
         self.samples: List[Tuple[str, int]] = []
@@ -167,11 +180,26 @@ class ImageFolder:
     def __len__(self):
         return len(self.samples)
 
-    def _decode(self, path: str) -> np.ndarray:
+    def _decode(self, path: str):
         from PIL import Image
 
         with Image.open(path) as im:
             im = im.convert("RGB")
+            if self.decode_size is not None and self.letterbox:
+                s = self.decode_size
+                canvas = letterbox_canvas(s)
+                w, h = im.size
+                if w <= h:
+                    nw, nh = s, max(int(round(s * h / w)), s)
+                else:
+                    nh, nw = s, max(int(round(s * w / h)), s)
+                im = im.resize((nw, nh), Image.BILINEAR)
+                ch, cw = min(nh, canvas), min(nw, canvas)
+                top, left = (nh - ch) // 2, (nw - cw) // 2
+                im = im.crop((left, top, left + cw, top + ch))
+                out = np.zeros((canvas, canvas, 3), np.uint8)
+                out[:ch, :cw] = np.asarray(im, dtype=np.uint8)
+                return out, np.asarray([ch, cw], np.int32)
             if self.decode_size is not None:
                 # resize shorter side then center crop to a square canonical
                 # size; the device RRC then crops from this canvas
@@ -187,11 +215,15 @@ class ImageFolder:
                 im = im.crop((left, top, left + s, top + s))
             return np.asarray(im, dtype=np.uint8)
 
-    def __getitem__(self, idx: int) -> Tuple[np.ndarray, int]:
+    def __getitem__(self, idx: int):
         for _ in range(5):
             path, label = self.samples[idx]
             try:
-                return self._decode(path), label
+                decoded = self._decode(path)
+                if self.letterbox and self.decode_size is not None:
+                    img, valid_hw = decoded
+                    return img, valid_hw, label
+                return decoded, label
             except Exception:
                 idx = random.randrange(len(self.samples))
         raise RuntimeError(f"too many corrupt images near {path}")
@@ -208,22 +240,39 @@ class ImageFolder:
         labels = np.asarray([self.samples[i][1] for i in indices], np.int64)
 
         jpeg_mask = [p.lower().endswith((".jpg", ".jpeg")) for p in paths]
-        out = np.empty((len(paths), self.decode_size, self.decode_size, 3), np.uint8)
+        side = (
+            letterbox_canvas(self.decode_size) if self.letterbox else self.decode_size
+        )
+        out = np.empty((len(paths), side, side, 3), np.uint8)
+        valid_hw = np.full((len(paths), 2), side, np.int32)
         ok = np.zeros(len(paths), bool)
         if native.available() and any(jpeg_mask):
             jpeg_pos = [i for i, m in enumerate(jpeg_mask) if m]
-            batch, good = native.decode_jpeg_batch(
-                [paths[i] for i in jpeg_pos], self.decode_size, num_threads
-            )
+            if self.letterbox:
+                batch, vhw, good = native.decode_jpeg_batch_letterbox(
+                    [paths[i] for i in jpeg_pos], self.decode_size, side,
+                    num_threads,
+                )
+            else:
+                batch, good = native.decode_jpeg_batch(
+                    [paths[i] for i in jpeg_pos], self.decode_size, num_threads
+                )
+                vhw = None
             for j, pos in enumerate(jpeg_pos):
                 if good[j]:
                     out[pos] = batch[j]
+                    if vhw is not None:
+                        valid_hw[pos] = vhw[j]
                     ok[pos] = True
         for i in range(len(paths)):
             if not ok[i]:
-                img, lbl = self[indices[i]]  # PIL fallback + corrupt retry
-                out[i] = img
-                labels[i] = lbl
+                item = self[indices[i]]  # PIL fallback + corrupt retry
+                if self.letterbox:
+                    out[i], valid_hw[i], labels[i] = item
+                else:
+                    out[i], labels[i] = item
+        if self.letterbox:
+            return out, valid_hw, labels
         return out, labels
 
 

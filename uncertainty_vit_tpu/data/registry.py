@@ -32,6 +32,7 @@ def build_dataset(
     decode_size: Optional[int] = None,
     data_set_filter_file: Optional[str] = None,
     seed: int = 0,
+    letterbox: bool = False,
 ) -> Tuple[object, int]:
     """data_set ∈ CIFAR100 | CIFAR10 | SVHN | tiny_IMNET | IMNET |
     image_folder (+-C/-P variants handled by evals/robustness.py).
@@ -69,7 +70,9 @@ def build_dataset(
                 allowed = {l.rstrip() for l in ff}
             is_valid_file = lambda p: os.path.basename(p) in allowed
         root = os.path.join(data_path, "train" if is_train else "val")
-        ds = D.ImageFolder(root, decode_size=decode_size, is_valid_file=is_valid_file)
+        ds = D.ImageFolder(root, decode_size=decode_size,
+                           is_valid_file=is_valid_file,
+                           letterbox=letterbox and decode_size is not None)
         nb = len(ds.classes) if data_set == "image_folder" else 1000
     else:
         raise ValueError(f"unknown data_set: {data_set}")

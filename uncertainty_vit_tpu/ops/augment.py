@@ -15,7 +15,7 @@ wrappers vmap over per-sample rng folds.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -141,8 +141,12 @@ def _rrc_params(
     attempts: int = 10,
 ):
     """Vectorized 10-attempt sampler; falls back to the torch center-crop
-    clamp. Returns (top, left, crop_h, crop_w) as traced scalars."""
-    area = float(h * w)
+    clamp. Returns (top, left, crop_h, crop_w) as traced scalars. h/w may be
+    traced per-sample values (letterboxed decode: the RRC samples within the
+    image's valid extent on the zero-filled canvas)."""
+    h = jnp.asarray(h, jnp.int32)
+    w = jnp.asarray(w, jnp.int32)
+    area = (h * w).astype(jnp.float32)
     ka, kr, ki, kj = jax.random.split(key, 4)
     target_area = area * jax.random.uniform(
         ka, (attempts,), minval=scale[0], maxval=scale[1]
@@ -166,13 +170,14 @@ def _rrc_params(
     left = jnp.floor(ju * (w - cw + 1).astype(jnp.float32)).astype(jnp.int32)
 
     # fallback: clamp aspect to the ratio range, center crop
-    in_ratio = float(w) / float(h)
-    if in_ratio < ratio[0]:
-        fw, fh = w, int(round(w / ratio[0]))
-    elif in_ratio > ratio[1]:
-        fh, fw = h, int(round(h * ratio[1]))
-    else:
-        fw, fh = w, h
+    in_ratio = w.astype(jnp.float32) / h.astype(jnp.float32)
+    too_tall = in_ratio < ratio[0]
+    too_wide = in_ratio > ratio[1]
+    fw = jnp.where(too_tall, w, jnp.where(
+        too_wide, jnp.round(h * jnp.float32(ratio[1])).astype(jnp.int32), w))
+    fh = jnp.where(too_tall,
+                   jnp.round(w / jnp.float32(ratio[0])).astype(jnp.int32),
+                   jnp.where(too_wide, h, h))
     f_top, f_left = (h - fh) // 2, (w - fw) // 2
 
     ch = jnp.where(any_valid, ch, fh)
@@ -478,11 +483,22 @@ def random_resized_crop_batch(
     scale: Tuple[float, float] = (0.08, 1.0),
     ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
     method: str = "bicubic",
+    valid_hw: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Planar [B, C, H, W] batched RandomResizedCrop."""
+    """Planar [B, C, H, W] batched RandomResizedCrop. valid_hw [B, 2] limits
+    each sample to its letterboxed valid extent (see data/datasets.py
+    letterbox mode) so the crop distribution matches torchvision's RRC over
+    the full original image."""
     b, _, h, w = imgs.shape
     keys = jax.random.split(key, b)
-    top, left, ch, cw = jax.vmap(lambda k: _rrc_params(k, h, w, scale, ratio))(keys)
+    if valid_hw is None:
+        top, left, ch, cw = jax.vmap(
+            lambda k: _rrc_params(k, h, w, scale, ratio)
+        )(keys)
+    else:
+        top, left, ch, cw = jax.vmap(
+            lambda k, vh, vw: _rrc_params(k, vh, vw, scale, ratio)
+        )(keys, valid_hw[:, 0], valid_hw[:, 1])
     return jnp.clip(
         crop_and_resize_batch(imgs, top, left, ch, cw, (out_size, out_size), method),
         0.0, 1.0,
@@ -608,19 +624,21 @@ def finetune_train_augment_batch(
     auto_augment: bool = False,
     aa_magnitude: float = 9.0,
     aa_magnitude_std: float = 0.5,
+    valid_hw: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Finetune train transform core (timm create_transform as invoked at
     run_class_finetuning.py:117 / datasets.py:221-239): RRC + hflip +
     (RandAugment XOR color jitter, timm semantics) + normalize + random
     erasing. auto_augment=True enables the on-device rand-m9-mstd0.5-inc1
     policy (ops/randaugment.py) and disables color jitter, exactly as timm
-    does when `--aa` is set."""
+    does when `--aa` is set. valid_hw: letterboxed per-sample extents (the
+    RRC then covers the full original image, --decode_letterbox)."""
     mean = IMAGENET_DEFAULT_MEAN if imagenet_default_mean_and_std else IMAGENET_INCEPTION_MEAN
     std = IMAGENET_DEFAULT_STD if imagenet_default_mean_and_std else IMAGENET_INCEPTION_STD
     imgs = to_planar(images_u8)
     kc, kf, kj, ke = jax.random.split(key, 4)
 
-    imgs = random_resized_crop_batch(kc, imgs, out_size)
+    imgs = random_resized_crop_batch(kc, imgs, out_size, valid_hw=valid_hw)
     imgs = random_hflip_batch(kf, imgs, hflip)
     if auto_augment:
         imgs = randaugment.rand_augment_batch(

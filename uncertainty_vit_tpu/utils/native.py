@@ -69,6 +69,12 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_void_p), ctypes.c_int, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ]
+        lib.uvit_decode_batch_letterbox.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
         lib.uvit_io_version.restype = ctypes.c_int
         _lib = lib
         return _lib
@@ -100,6 +106,32 @@ def decode_jpeg_batch(
         num_threads,
     )
     return out, statuses == 0
+
+
+def decode_jpeg_batch_letterbox(
+    paths: Sequence[str], short_size: int, canvas: int, num_threads: int = 8
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Letterboxed decode: [N, canvas, canvas, 3] zero-filled squares with
+    the aspect-preserving resize pasted top-left, plus per-image valid
+    extents [N, 2] (h, w) — so the on-device RandomResizedCrop can sample
+    the FULL image instead of a host center crop. Returns
+    (batch, valid_hw, ok)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native IO runtime unavailable")
+    n = len(paths)
+    out = np.empty((n, canvas, canvas, 3), np.uint8)
+    valid_hw = np.zeros((n, 2), np.int32)
+    statuses = np.zeros(n, np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    lib.uvit_decode_batch_letterbox(
+        c_paths, n, short_size, canvas,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        valid_hw.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        statuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        num_threads,
+    )
+    return out, valid_hw, statuses == 0
 
 
 def assemble_batch(arrays: List[np.ndarray], num_threads: int = 8) -> np.ndarray:
