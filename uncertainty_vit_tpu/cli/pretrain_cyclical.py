@@ -47,6 +47,10 @@ def get_args_parser():
     g.add_argument("--l2_loss", action="store_true")
     g.add_argument("--var_w0", type=float, default=0.0)
     g.add_argument("--var_margin0", type=float, default=0.5)
+    # accepted for flag-for-flag recipe compatibility; the w1 hinge term is
+    # commented out in the reference itself (engine_for_cyclical.py:142,160)
+    g.add_argument("--var_w1", type=float, default=0.0)
+    g.add_argument("--var_margin1", type=float, default=0.5)
     g.add_argument("--loss_scale", type=float, default=-1.0)
     g.add_argument("--ema_decay", type=float, default=0.9998)
     g.add_argument("--ema_decay_init", type=float, default=0.999)
