@@ -140,6 +140,48 @@ def test_head_group_selection():
     assert not FA.kernel_supported(3, 100, 197)
 
 
+def test_fused_backward_with_multiple_head_groups(monkeypatch):
+    """num_groups > 1 (the ViT-B/L 384 regime, N=577 → group < num_heads)
+    exercises the 4-D [B, G, N, group] lse residual layout — a [B, N, H]
+    layout has a partial non-128 last dim that Mosaic rejects on TPU, a
+    break the single-group tests above can never see."""
+    import uncertainty_vit_tpu.ops.flash_attention as FA_mod
+
+    monkeypatch.setattr(FA_mod, "_head_group", lambda hd, nh, n: 2)
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    bias = jax.random.normal(jax.random.PRNGKey(1), (H, N, N)) * 0.1
+    seed = jnp.zeros((1,), jnp.int32)
+
+    g_f = jax.grad(
+        lambda q, b: jnp.sum(FA.fused_qkv_attention(q, b, None, seed, SCALE, H, 0.0) ** 2),
+        argnums=(0, 1),
+    )(qkv, bias)
+    g_r = jax.grad(
+        lambda q, b: jnp.sum(naive_flat(q, b) ** 2), argnums=(0, 1)
+    )(qkv, bias)
+    np.testing.assert_allclose(np.asarray(g_f[0]), np.asarray(g_r[0]), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f[1]), np.asarray(g_r[1]), rtol=1e-3, atol=1e-4)
+
+
+def test_qv_bias_k_row_gradient_is_zero():
+    """The forward never adds a key bias (modeling_finetune.py:146-151), so
+    the packed qv_bias's k row must receive a ZERO cotangent — a sum-of-dk
+    row would silently train a parameter with no forward effect."""
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    qvb = jnp.stack([
+        jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.3,
+        jnp.zeros((C,)),
+        jax.random.normal(jax.random.PRNGKey(3), (C,)) * 0.3,
+    ])
+    seed = jnp.zeros((1,), jnp.int32)
+    g = jax.grad(
+        lambda qb: jnp.sum(FA.fused_qkv_attention(qkv, None, qb, seed, SCALE, H, 0.0) ** 2)
+    )(qvb)
+    assert np.abs(np.asarray(g[1])).max() == 0.0
+    assert np.abs(np.asarray(g[0])).max() > 0.0
+    assert np.abs(np.asarray(g[2])).max() > 0.0
+
+
 @pytest.fixture
 def force_stream():
     FA._FORCE_STREAM = True

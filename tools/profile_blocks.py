@@ -29,7 +29,6 @@ B, N, C, H, LAYERS = 128, 197, 768, 12, 12
 def bench(fn, args, iters=10, warm=2, label=""):
     for _ in range(warm):
         out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].astype(jnp.float32).item() if False else None
     float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).astype(jnp.float32).reshape(-1)[0])
     t0 = time.perf_counter()
     for _ in range(iters):

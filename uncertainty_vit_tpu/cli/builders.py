@@ -35,12 +35,19 @@ def add_model_args(p: argparse.ArgumentParser):
                         "MC-dropout is exact")
     g.add_argument("--drop_path", type=float, default=0.1)
     g.add_argument("--layer_scale_init_value", default=0.1, type=float)
-    # boolean literals (True/False) so every combination is expressible —
-    # e.g. rel-pos-bias with abs_pos_emb simultaneously, or shared table off
-    # (the reference allows all of these; store_true with default=True can't)
-    g.add_argument("--rel_pos_bias", default=False, type=ast.literal_eval)
-    g.add_argument("--shared_rel_pos_bias", default=True, type=ast.literal_eval)
-    g.add_argument("--abs_pos_emb", default=True, type=ast.literal_eval)
+    # boolean literals (True/False) so every combination is expressible
+    # (the reference's store_true/store_false pairs). REFERENCE SEMANTICS:
+    # --rel_pos_bias toggles the SHARED table (run_class_finetuning.py:359 /
+    # run_cyclical.py:294 pass it as use_shared_rel_pos_bias and hard-code
+    # per-block use_rel_pos_bias=False), default True; --abs_pos_emb
+    # defaults False (run_cyclical.py:54-55). Per-block tables are exposed
+    # as an extension under their own name.
+    g.add_argument("--rel_pos_bias", default=True, type=ast.literal_eval,
+                   help="shared rel-pos-bias table (reference --rel_pos_bias)")
+    g.add_argument("--per_block_rel_pos_bias", default=False, type=ast.literal_eval,
+                   help="per-block rel-pos tables (the reference hard-codes "
+                        "this False; extension)")
+    g.add_argument("--abs_pos_emb", default=False, type=ast.literal_eval)
     g.add_argument("--sinkformer", action="store_true")
     g.add_argument("--gumbel_softmax", action="store_true")
     g.add_argument("--h_sto_trans", action="store_true")
@@ -160,8 +167,8 @@ def model_config_from_args(args, num_classes: int) -> ViTConfig:
         # 1:1 flag mapping, no coupling: the reference allows abs_pos_emb and
         # rel-pos bias simultaneously (run_class_finetuning.py:358-360)
         use_abs_pos_emb=args.abs_pos_emb,
-        use_rel_pos_bias=args.rel_pos_bias,
-        use_shared_rel_pos_bias=args.shared_rel_pos_bias,
+        use_rel_pos_bias=args.per_block_rel_pos_bias,
+        use_shared_rel_pos_bias=args.rel_pos_bias,
         attn_variant=variant,
         head_type=head_type,
         sngp_fc_norm=args.sngp,
@@ -215,14 +222,21 @@ def build_optimizer(args, params, lr_schedule, wd_schedule, depth: int):
     )
 
 
-def build_loaders(args, is_train: bool, triplet: bool = False) -> Tuple[BatchLoader, int]:
+def build_loaders(
+    args, is_train: bool, triplet: bool = False, letterbox_ok: bool = False
+) -> Tuple[BatchLoader, int]:
+    """letterbox_ok: only callers whose augmentation path consumes the
+    per-sample valid_hw column may enable --decode_letterbox (currently the
+    non-triplet finetune trainer); everywhere else a letterboxed canvas
+    would be augmented as if fully valid, sampling the zero fill."""
     decode = args.decode_size or (args.input_size * 8 // 7 if args.input_size > 64 else None)
     dataset, nb_classes = build_dataset(
         is_train, args.data_set, args.data_path,
         semi_supervised_ratio=getattr(args, "semi_supervised_ratio", 0.0) if is_train else 0.0,
         triplet=triplet,
         decode_size=decode,
-        letterbox=is_train and getattr(args, "decode_letterbox", False),
+        letterbox=is_train and letterbox_ok
+        and getattr(args, "decode_letterbox", False),
         data_set_filter_file=getattr(args, "data_set_filter_file", None) if is_train else None,
         seed=args.seed,
     )

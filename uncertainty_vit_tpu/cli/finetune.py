@@ -321,7 +321,9 @@ def main(args):
         variables = load_variables(args, model, sample)
         return run_eval_dispatch(args, model, variables, val_loader, nb_classes)
 
-    train_loader, _ = B.build_loaders(args, is_train=True, triplet=triplet)
+    train_loader, _ = B.build_loaders(
+        args, is_train=True, triplet=triplet, letterbox_ok=not triplet
+    )
     steps_per_epoch = args.steps_per_epoch or len(train_loader)
     lr_schedule, wd_schedule, total = B.build_lr_schedules(args, steps_per_epoch)
 

@@ -175,9 +175,9 @@ def _rrc_params(
     too_wide = in_ratio > ratio[1]
     fw = jnp.where(too_tall, w, jnp.where(
         too_wide, jnp.round(h * jnp.float32(ratio[1])).astype(jnp.int32), w))
-    fh = jnp.where(too_tall,
-                   jnp.round(w / jnp.float32(ratio[0])).astype(jnp.int32),
-                   jnp.where(too_wide, h, h))
+    fh = jnp.where(
+        too_tall, jnp.round(w / jnp.float32(ratio[0])).astype(jnp.int32), h
+    )
     f_top, f_left = (h - fh) // 2, (w - fw) // 2
 
     ch = jnp.where(any_valid, ch, fh)

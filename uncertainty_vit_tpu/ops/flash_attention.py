@@ -143,7 +143,10 @@ def _fwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
             # softmax log-sum-exp for the backward: probs = exp(s − lse).
             # Single-lane store per head (a lane-dim concat of the per-head
             # columns measured ~0.5 ms/layer of relayout; this doesn't).
-            lse_ref[:, :, i:i + 1] = m - jnp.log(r)
+            # 4-D [B, G, N, group] layout: the block must be FULL in its
+            # last dim — Mosaic rejects a partial non-128 last dim, which
+            # [B, N, H] blocks hit whenever group < num_heads (N=577).
+            lse_ref[:, 0, :, i:i + 1] = m - jnp.log(r)
         if dropout_rate > 0.0:
             e = e * _dropout_mask(e.shape, dropout_rate)
         # out = (probs_dropped @ v) = ((e·mask) @ v) · r — the row-recip
@@ -208,7 +211,7 @@ def _bwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
         #   dp_raw = g vᵀ;  t = dp_raw·p_d  (= dprobs·p)
         #   c = rowsum(t);  ds = t − p·c    (softmax vjp)
         s = _scores(q, k, bias, scale)
-        p = jnp.exp(s - lse_all[:, :, i:i + 1])
+        p = jnp.exp(s - lse_all[:, 0, :, i:i + 1])
         if dropout_rate > 0.0:
             p_d = p * _dropout_mask(p.shape, dropout_rate)
         else:
@@ -340,9 +343,14 @@ def _fwd_impl(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate,
     out_shapes = [jax.ShapeDtypeStruct((b, n, c), qkv.dtype)]
     if want_lse:
         out_specs.append(
-            pl.BlockSpec((bb, n, group), lambda b_, g: (b_, 0, g), memory_space=pltpu.VMEM)
+            pl.BlockSpec(
+                (bb, 1, n, group), lambda b_, g: (b_, g, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         )
-        out_shapes.append(jax.ShapeDtypeStruct((b, n, num_heads), jnp.float32))
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, num_groups, n, group), jnp.float32)
+        )
     outs = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
@@ -384,7 +392,10 @@ def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
         )
         args.append(qv_bias)
     in_specs.append(
-        pl.BlockSpec((bb, n, group), lambda gg, b_: (b_, 0, gg), memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            (bb, 1, n, group), lambda gg, b_: (b_, gg, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     )
     args.append(lse)
     in_specs.append(
@@ -443,9 +454,13 @@ def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
     if qv_bias is None:
         dqvb = None
     else:
-        # d(q/v bias) = per-section reduction of dqkv over (batch, tokens);
-        # the k row is structurally unused by the caller (zero key bias).
+        # d(q/v bias) = per-section reduction of dqkv over (batch, tokens).
+        # The k row must be ZEROED: the forward never adds a key bias
+        # (modeling_finetune.py:146-151), so its true cotangent is 0 — a
+        # sum-of-dk row would feed spurious gradient to a parameter with no
+        # forward effect.
         dqvb = dqkv.reshape(b, n, 3, c).astype(jnp.float32).sum(axis=(0, 1))
+        dqvb = dqvb * jnp.asarray([1.0, 0.0, 1.0])[:, None]
         dqvb = dqvb.astype(qv_bias.dtype)
     return dqkv, dbias, dqvb
 
@@ -879,7 +894,9 @@ def _stream_bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads,
     if qv_bias is None:
         dqvb = None
     else:
+        # k row zeroed — no key bias in the forward (see _bwd_impl)
         dqvb = dqkv.reshape(b, n, 3, c).astype(jnp.float32).sum(axis=(0, 1))
+        dqvb = dqvb * jnp.asarray([1.0, 0.0, 1.0])[:, None]
         dqvb = dqvb.astype(qv_bias.dtype)
     return dqkv, dbias, dqvb
 

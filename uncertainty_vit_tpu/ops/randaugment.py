@@ -8,14 +8,16 @@ is a batched TPU implementation over planar [B, C, H, W] float images in
 - per sample and per round (2 rounds), one of 15 ops is drawn with the timm
   increasing-severity parameter maps; magnitude ~ N(9, 0.5) clipped [0, 10];
   each draw applies with probability 0.5;
-- the geometric ops (rotate/shear/translate) compose into ONE affine matrix
-  per sample and execute as a single bilinear warp (4 batched gathers), so a
-  round costs one warp plus the elementwise pixel ops ("compute all, select
-  per sample" — the same work a vmapped switch would do, without its
-  pathological lowering);
+- the geometric ops (rotate/shear/translate) compose ACROSS rounds into one
+  affine matrix per sample and execute as a single gather-free 3-shear
+  (Paeth) bilinear warp built from binary conditional rolls (shear_warp);
+- the 8 pointwise ops evaluate on the 256 uint8 levels and apply as one
+  two-level 16×16 LUT matmul per round (apply_lut);
 - documented approximations vs PIL: equalize uses a strided-subsample
-  256-bin histogram with a cdf LUT; posterize keeps max(4−⌊4m/10⌋, 1) bits;
-  warps are bilinear with zero fill.
+  histogram; posterize keeps max(4−⌊4m/10⌋, 1) bits; stats-dependent ops
+  see the unwarped image when a geometric op fired in an earlier round
+  (~1.7%% of samples); fill-border behavior of sequential shears differs
+  slightly from a single-pass warp.
 """
 
 from __future__ import annotations
@@ -312,9 +314,13 @@ def _one_round(key, x, magnitude_mean: float, magnitude_std: float, prob: float)
     - geometric ops return their affine matrix; the driver applies ONE
       composed shear warp after all rounds (warps compose exactly as matrix
       products; a single resample halves cost and avoids double-blur).
-      Pixel ops are pointwise, so commuting them past the warp only changes
-      the zero-fill border (documented approximation vs timm's strictly
-      sequential application).
+      Commuting a pixel op past the warp is exact for the pointwise maps
+      away from the zero-fill border, but the STATS-dependent ops
+      (autocontrast/equalize/contrast) compute their min/max/histogram/mean
+      on the unwarped image, where timm would include the fill pixels of an
+      earlier-round warp — affects the ~1.7%% of samples that draw a
+      geometric op in round 1 and a stats op in round 2 (documented
+      divergence, also noted in PARITY.md).
     """
     b, c = x.shape[0], x.shape[1]
     h, w = x.shape[2], x.shape[3]

@@ -146,6 +146,10 @@ def make_optimizer(
     lookahead = opt_name.startswith("lookahead_")
     if lookahead:
         opt_name = opt_name[len("lookahead_"):]
+    # transforms that must see the update INCLUDING the decayed weights
+    # (LAMB/LARS normalize the full update per layer; momentum-style buffers
+    # accumulate after the rms scaling) — appended after the wd transform
+    post_wd: list = []
     if opt_name in ("adamw", "adam"):
         chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
     elif opt_name == "nadam":
@@ -159,18 +163,24 @@ def make_optimizer(
     elif opt_name == "novograd":
         chain.append(optax.scale_by_novograd(b1=betas[0], b2=betas[1], eps=eps))
     elif opt_name in ("rmsprop", "rmsproptf"):
-        # timm's rmsprop_tf: decay 0.9, eps inside the sqrt
+        # timm's rmsprop_tf: decay 0.9, eps inside the sqrt, heavy-ball
+        # momentum after the rms scaling (optim_factory.py:151-154 always
+        # passes momentum=args.momentum)
         chain.append(optax.scale_by_rms(decay=0.9, eps=eps, eps_in_sqrt=True))
+        if momentum:
+            post_wd.append(optax.trace(decay=momentum, nesterov=False))
     elif opt_name == "sgd":
         chain.append(optax.trace(decay=momentum, nesterov=True))
     elif opt_name == "momentum":
         chain.append(optax.trace(decay=momentum, nesterov=False))
     elif opt_name == "lamb":
+        # trust ratio normalizes adam_update + wd·param (optax.lamb layout)
         chain.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
-        chain.append(optax.scale_by_trust_ratio())
+        post_wd.append(optax.scale_by_trust_ratio())
     elif opt_name == "lars":
-        chain.append(optax.trace(decay=momentum, nesterov=False))
-        chain.append(optax.scale_by_trust_ratio())
+        # optax.lars layout: wd → per-layer trust ratio → momentum
+        post_wd.append(optax.scale_by_trust_ratio())
+        post_wd.append(optax.trace(decay=momentum, nesterov=False))
     elif opt_name == "adafactor":
         chain.append(optax.scale_by_factored_rms())
     else:
@@ -183,6 +193,7 @@ def make_optimizer(
         mask = weight_decay_mask(params, skip_names)
         sched = wd_schedule or (lambda step: jnp.full((), weight_decay, jnp.float32))
         chain.append(add_scheduled_decayed_weights(sched, mask))
+    chain.extend(post_wd)
 
     if layer_decay is not None and layer_decay < 1.0:
         scales = layer_decay_scales(params, layer_decay, depth)
