@@ -212,3 +212,32 @@ def test_cli_sngp_exact_accumulation_resets_per_epoch(cifar_root, tmp_path, monk
     )))
     FT.main(args2)
     assert calls == []
+
+
+def test_reference_flag_mapping_matches_create_model_semantics():
+    """The reference recipes translate flag-for-flag: --rel_pos_bias is the
+    SHARED table (run_class_finetuning.py:358-360 passes it as
+    use_shared_rel_pos_bias with per-block use_rel_pos_bias hard-coded
+    False) and --abs_pos_emb defaults False (run_cyclical.py:54-55)."""
+    from uncertainty_vit_tpu.cli import builders as B
+    from uncertainty_vit_tpu.cli import finetune as FT
+
+    # reference defaults: rel_pos_bias=True, abs_pos_emb=False
+    args = FT.get_args_parser().parse_args([])
+    cfg = B.model_config_from_args(args, num_classes=10)
+    assert cfg.use_shared_rel_pos_bias is True
+    assert cfg.use_rel_pos_bias is False
+    assert cfg.use_abs_pos_emb is False
+
+    # --disable_rel_pos_bias equivalent + --abs_pos_emb (data2vec-style)
+    args = FT.get_args_parser().parse_args(
+        ["--rel_pos_bias", "False", "--abs_pos_emb", "True"]
+    )
+    cfg = B.model_config_from_args(args, num_classes=10)
+    assert cfg.use_shared_rel_pos_bias is False
+    assert cfg.use_abs_pos_emb is True
+
+    # per-block tables are an extension under their own flag
+    args = FT.get_args_parser().parse_args(["--per_block_rel_pos_bias", "True"])
+    cfg = B.model_config_from_args(args, num_classes=10)
+    assert cfg.use_rel_pos_bias is True

@@ -221,3 +221,59 @@ def test_sinkhorn_parity():
 
     ours = sinkhorn_probs(jnp.asarray(scores), eps=eps_, max_iter=iters)
     np.testing.assert_allclose(np.asarray(ours), pi.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_dist_attention_parity():
+    """DistAttention vs the reference's Wasserstein-kernel attention math
+    (modeling_finetune_dist.py:61-179): shared qkv weights between the mean
+    and cov streams (cov_qkv exists but its weight is unused, :127), ELU+1
+    cov rectification, q·scale, sigmoid(−W₂) logits + shared rel-pos bias,
+    softmax, mean = attn·v, cov = attn²·cov_v, separate projections."""
+    from uncertainty_vit_tpu.models.dist_vit import DistAttention
+
+    b, n, c, heads = 2, 9, 16, 2
+    hd = c // heads
+    scale = hd**-0.5
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, n, c))
+    cov_x = jax.random.normal(jax.random.PRNGKey(1), (b, n, c)) * 0.5
+    bias = jax.random.normal(jax.random.PRNGKey(2), (heads, n, n)) * 0.1
+
+    model = DistAttention(dim=c, num_heads=heads)
+    params = model.init(jax.random.PRNGKey(3), x, cov_x, bias)["params"]
+    # nonzero biases so the separate-bias path is actually exercised
+    for name in ("q_bias", "v_bias", "cov_q_bias", "cov_v_bias"):
+        params[name] = jax.random.normal(jax.random.PRNGKey(hash(name) % 97), (c,)) * 0.2
+    ours_mean, ours_cov = model.apply({"params": params}, x, cov_x, bias)
+
+    p = jax.tree_util.tree_map(np.asarray, params)
+    W = t(p["qkv_kernel"]).T  # torch layout [3C, C]
+    qkv_b = torch.cat((t(p["q_bias"]), torch.zeros(c), t(p["v_bias"])))
+    cov_b = torch.cat((t(p["cov_q_bias"]), torch.zeros(c), t(p["cov_v_bias"])))
+
+    def heads_split(z):
+        return z.reshape(b, n, 3, heads, hd).permute(2, 0, 3, 1, 4)
+
+    qkv = heads_split(F.linear(t(x), W, qkv_b))
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    cov_qkv = heads_split(torch.nn.functional.elu(F.linear(t(cov_x), W, cov_b)) + 1)
+    cov_q, cov_k, cov_v = cov_qkv[0], cov_qkv[1], cov_qkv[2]
+
+    def wdm(m1, c1, m2, c2):
+        m1, m2 = torch.sigmoid(m1), torch.sigmoid(m2)
+        c1, c2 = torch.sigmoid(c1), torch.sigmoid(c2)
+        ret = (m1**2).sum(-1, keepdim=True) + (m2**2).sum(-1, keepdim=True).transpose(-1, -2) \
+            - 2 * m1 @ m2.transpose(-1, -2)
+        s1 = torch.sqrt(torch.clamp(c1, min=1e-24))
+        s2 = torch.sqrt(torch.clamp(c2, min=1e-24))
+        return ret + c1.sum(-1, keepdim=True) + c2.sum(-1, keepdim=True).transpose(-1, -2) \
+            - 2 * s1 @ s2.transpose(-1, -2)
+
+    attn = torch.sigmoid(-wdm(q * scale, cov_q, k, cov_k) + 1e-24)
+    attn = (attn + t(bias)).softmax(dim=-1)
+    mean_ctx = (attn @ v).transpose(1, 2).reshape(b, n, -1)
+    cov_ctx = (attn**2 @ cov_v).transpose(1, 2).reshape(b, n, -1)
+    ref_mean = F.linear(mean_ctx, t(p["proj"]["kernel"]).T, t(p["proj"]["bias"]))
+    ref_cov = F.linear(cov_ctx, t(p["cov_proj"]["kernel"]).T, t(p["cov_proj"]["bias"]))
+
+    np.testing.assert_allclose(np.asarray(ours_mean), ref_mean.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours_cov), ref_cov.numpy(), rtol=1e-4, atol=1e-5)
