@@ -241,8 +241,8 @@ def test_dist_attention_parity():
     model = DistAttention(dim=c, num_heads=heads)
     params = model.init(jax.random.PRNGKey(3), x, cov_x, bias)["params"]
     # nonzero biases so the separate-bias path is actually exercised
-    for name in ("q_bias", "v_bias", "cov_q_bias", "cov_v_bias"):
-        params[name] = jax.random.normal(jax.random.PRNGKey(hash(name) % 97), (c,)) * 0.2
+    for i, name in enumerate(("q_bias", "v_bias", "cov_q_bias", "cov_v_bias")):
+        params[name] = jax.random.normal(jax.random.PRNGKey(10 + i), (c,)) * 0.2
     ours_mean, ours_cov = model.apply({"params": params}, x, cov_x, bias)
 
     p = jax.tree_util.tree_map(np.asarray, params)

@@ -54,7 +54,7 @@ def smoke_finetune():
     from uncertainty_vit_tpu.models.vit import VisionTransformer
     from uncertainty_vit_tpu.train import schedules
     from uncertainty_vit_tpu.train.engine_finetune import (
-        FinetuneHParams, init_finetune_state, make_finetune_train_step,
+        FinetuneHParams, FinetuneState, make_finetune_train_step,
     )
     from uncertainty_vit_tpu.train.optim import make_optimizer
 
@@ -66,7 +66,8 @@ def smoke_finetune():
     lr = schedules.cosine_schedule(4e-3, 1e-6, 1000, warmup_steps=10)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
     tx = make_optimizer(params, lr, weight_decay=0.05, layer_decay=0.65)
-    state = init_finetune_state(model, tx, jax.random.PRNGKey(0), x)
+    state = FinetuneState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros([], jnp.int32))
     step = make_finetune_train_step(model, tx, FinetuneHParams(
         num_classes=cfg.num_classes, num_patches=cfg.num_patches), lr)
     state, m = step(state, x, labels, jax.random.PRNGKey(3))
@@ -78,7 +79,7 @@ def smoke_sngp():
     from uncertainty_vit_tpu.models.vit import VisionTransformer
     from uncertainty_vit_tpu.train import schedules
     from uncertainty_vit_tpu.train.engine_finetune import (
-        FinetuneHParams, init_finetune_state, make_finetune_train_step,
+        FinetuneHParams, FinetuneState, make_finetune_train_step,
     )
     from uncertainty_vit_tpu.train.optim import make_optimizer
 
@@ -88,12 +89,15 @@ def smoke_sngp():
     x = images()
     labels = jax.random.randint(jax.random.PRNGKey(2), (B,), 0, cfg.num_classes)
     lr = schedules.cosine_schedule(4e-3, 1e-6, 1000, warmup_steps=10)
-    state = init_finetune_state(
-        model,
-        make_optimizer(jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"], lr),
-        jax.random.PRNGKey(0), x, head_type="sngp",
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    tx = make_optimizer(variables["params"], lr)
+    state = FinetuneState(
+        params=variables["params"], opt_state=tx.init(variables["params"]),
+        step=jnp.zeros([], jnp.int32),
+        sngp_state=variables.get("sngp_state"),
+        spectral_stats=variables.get("spectral_stats"),
+        sngp_frozen=variables.get("sngp_frozen"),
     )
-    tx = make_optimizer(state.params, lr)
     step = make_finetune_train_step(model, tx, FinetuneHParams(
         num_classes=cfg.num_classes, num_patches=cfg.num_patches,
         head_type="sngp"), lr)
@@ -177,8 +181,7 @@ def smoke_dist():
     from uncertainty_vit_tpu.models.dist_vit import DistVisionTransformer
     from uncertainty_vit_tpu.train import schedules
     from uncertainty_vit_tpu.train.engine_finetune_dist import (
-        DistFinetuneHParams, init_dist_finetune_state,
-        make_dist_finetune_train_step,
+        DistFinetuneHParams, DistFinetuneState, make_dist_finetune_train_step,
     )
     from uncertainty_vit_tpu.train.optim import make_optimizer
 
@@ -188,12 +191,10 @@ def smoke_dist():
     x, pos, neg = images(1), images(2), images(3)
     labels = jax.random.randint(jax.random.PRNGKey(4), (B,), 0, cfg.num_classes)
     lr = schedules.cosine_schedule(4e-3, 1e-6, 1000, warmup_steps=10)
-    state = init_dist_finetune_state(
-        model,
-        make_optimizer(jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"], lr),
-        jax.random.PRNGKey(0), x,
-    )
-    tx = make_optimizer(state.params, lr)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+    tx = make_optimizer(params, lr)
+    state = DistFinetuneState(params=params, opt_state=tx.init(params),
+                              step=jnp.zeros([], jnp.int32))
     step = make_dist_finetune_train_step(model, tx, DistFinetuneHParams(
         num_classes=cfg.num_classes), lr)
     state, m = step(state, x, pos, neg, labels, jax.random.PRNGKey(5))

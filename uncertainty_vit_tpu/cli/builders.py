@@ -228,15 +228,23 @@ def build_loaders(
     """letterbox_ok: only callers whose augmentation path consumes the
     per-sample valid_hw column may enable --decode_letterbox (currently the
     non-triplet finetune trainer); everywhere else a letterboxed canvas
-    would be augmented as if fully valid, sampling the zero fill."""
+    would be augmented as if fully valid, sampling the zero fill — so the
+    flag ERRORS rather than silently no-ops on unsupported paths."""
+    letterbox_requested = getattr(args, "decode_letterbox", False)
+    if letterbox_requested and is_train and not letterbox_ok:
+        raise ValueError(
+            "--decode_letterbox is only supported by the (non-triplet) "
+            "finetune trainer, whose augmentation consumes the per-sample "
+            "valid extents; this entry point would silently sample the "
+            "zero-filled canvas margins"
+        )
     decode = args.decode_size or (args.input_size * 8 // 7 if args.input_size > 64 else None)
     dataset, nb_classes = build_dataset(
         is_train, args.data_set, args.data_path,
         semi_supervised_ratio=getattr(args, "semi_supervised_ratio", 0.0) if is_train else 0.0,
         triplet=triplet,
         decode_size=decode,
-        letterbox=is_train and letterbox_ok
-        and getattr(args, "decode_letterbox", False),
+        letterbox=is_train and letterbox_ok and letterbox_requested,
         data_set_filter_file=getattr(args, "data_set_filter_file", None) if is_train else None,
         seed=args.seed,
     )

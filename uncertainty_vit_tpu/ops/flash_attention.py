@@ -243,6 +243,17 @@ def _bwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
             dbias_ref[i] += jnp.sum(ds, axis=0)
 
 
+def _reduce_qv_bias_grad(dqkv, b, n, c, dtype):
+    """d(q/v bias) = per-section reduction of dqkv over (batch, tokens).
+    The k row is ZEROED: the forward never adds a key bias
+    (modeling_finetune.py:146-151), so its true cotangent is 0 — a
+    sum-of-dk row would feed spurious gradient to a parameter with no
+    forward effect."""
+    dqvb = dqkv.reshape(b, n, 3, c).astype(jnp.float32).sum(axis=(0, 1))
+    dqvb = dqvb * jnp.asarray([1.0, 0.0, 1.0])[:, None]
+    return dqvb.astype(dtype)
+
+
 def _qkv_specs(n: int, lanes: int, num_groups: int, bh_grid: bool, bb: int):
     """BlockSpecs slicing per-head-group q/k/v slabs of `bb` batch items from
     the fused [B, N, 3C] tensor. bh_grid=True → grid (B/bb, G); False →
@@ -451,17 +462,9 @@ def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
         dq, dk, dv = outs[:3]
         dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
         dbias = outs[3].astype(bias.dtype) if has_bias else None
-    if qv_bias is None:
-        dqvb = None
-    else:
-        # d(q/v bias) = per-section reduction of dqkv over (batch, tokens).
-        # The k row must be ZEROED: the forward never adds a key bias
-        # (modeling_finetune.py:146-151), so its true cotangent is 0 — a
-        # sum-of-dk row would feed spurious gradient to a parameter with no
-        # forward effect.
-        dqvb = dqkv.reshape(b, n, 3, c).astype(jnp.float32).sum(axis=(0, 1))
-        dqvb = dqvb * jnp.asarray([1.0, 0.0, 1.0])[:, None]
-        dqvb = dqvb.astype(qv_bias.dtype)
+    dqvb = None if qv_bias is None else _reduce_qv_bias_grad(
+        dqkv, b, n, c, qv_bias.dtype
+    )
     return dqkv, dbias, dqvb
 
 
@@ -891,13 +894,9 @@ def _stream_bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads,
     dv = outs2[1].astype(qkv.dtype)
 
     dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
-    if qv_bias is None:
-        dqvb = None
-    else:
-        # k row zeroed — no key bias in the forward (see _bwd_impl)
-        dqvb = dqkv.reshape(b, n, 3, c).astype(jnp.float32).sum(axis=(0, 1))
-        dqvb = dqvb * jnp.asarray([1.0, 0.0, 1.0])[:, None]
-        dqvb = dqvb.astype(qv_bias.dtype)
+    dqvb = None if qv_bias is None else _reduce_qv_bias_grad(
+        dqkv, b, n, c, qv_bias.dtype
+    )
     return dqkv, dbias, dqvb
 
 

@@ -16,7 +16,7 @@ is a batched TPU implementation over planar [B, C, H, W] float images in
 - documented approximations vs PIL: equalize uses a strided-subsample
   histogram; posterize keeps max(4−⌊4m/10⌋, 1) bits; stats-dependent ops
   see the unwarped image when a geometric op fired in an earlier round
-  (~1.7%% of samples); fill-border behavior of sequential shears differs
+  (~1.7% of samples); fill-border behavior of sequential shears differs
   slightly from a single-pass warp.
 """
 
@@ -318,7 +318,7 @@ def _one_round(key, x, magnitude_mean: float, magnitude_std: float, prob: float)
       away from the zero-fill border, but the STATS-dependent ops
       (autocontrast/equalize/contrast) compute their min/max/histogram/mean
       on the unwarped image, where timm would include the fill pixels of an
-      earlier-round warp — affects the ~1.7%% of samples that draw a
+      earlier-round warp — affects the ~1.7% of samples that draw a
       geometric op in round 1 and a stats op in round 2 (documented
       divergence, also noted in PARITY.md).
     """

@@ -96,8 +96,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Shard leading (batch) dim over the data axis."""
+def shard_batch(batch: Any, mesh: Mesh, include_seq: bool = False) -> Any:
+    """Shard the leading (batch) dim over the data axis — or over the
+    (data × seq) product when include_seq (pure data parallelism using all
+    devices of a 3-axis mesh whose seq axis is otherwise idle)."""
+    spec = P((DATA_AXIS, SEQ_AXIS)) if include_seq else P(DATA_AXIS)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS))), batch
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec)), batch
     )
