@@ -241,3 +241,21 @@ def test_reference_flag_mapping_matches_create_model_semantics():
     args = FT.get_args_parser().parse_args(["--per_block_rel_pos_bias", "True"])
     cfg = B.model_config_from_args(args, num_classes=10)
     assert cfg.use_rel_pos_bias is True
+
+
+def test_cli_visualize_embedding(cifar_root, tmp_path):
+    """--visualize_embedding dumps projector TSVs and exits before training
+    (run_class_finetuning.py:242, 634-637)."""
+    from uncertainty_vit_tpu.cli import finetune as FT
+
+    out = str(tmp_path / "viz")
+    args = FT.get_args_parser().parse_args([
+        "--model", "beit_test_patch16_32", "--input_size", "32",
+        "--data_set", "CIFAR100", "--data_path", cifar_root,
+        "--batch_size", "16", "--num_workers", "0", "--dtype", "float32",
+        "--output_dir", out, "--visualize_embedding",
+    ])
+    FT.main(args)
+    feats = np.loadtxt(os.path.join(out, "embeddings.tsv"))
+    labels = np.loadtxt(os.path.join(out, "embeddings_labels.tsv"))
+    assert feats.ndim == 2 and feats.shape[0] == labels.shape[0] > 0

@@ -70,6 +70,10 @@ def get_args_parser():
                         "--dropout_from_block >= s; otherwise a documented "
                         "last-layers approximation. Meets the K=8 <= 4x "
                         "cost target at s >= 8 (depth 12)")
+    e.add_argument("--visualize_embedding", action="store_true",
+                   help="dump val-set pooled features as TensorBoard-"
+                        "projector TSVs + a PCA scatter, then exit "
+                        "(run_class_finetuning.py:634-637)")
     e.add_argument("--ensembles", action="store_true")
     e.add_argument("--ensemble_checkpoints", type=str, nargs="*", default=[])
     e.add_argument("--corrupted_data", action="store_true")
@@ -316,6 +320,18 @@ def main(args):
     nb_classes = args.nb_classes or nb_classes
     model, cfg = build_model(args, nb_classes)
     sample = jnp.zeros((args.batch_size, args.input_size, args.input_size, 3))
+
+    if args.visualize_embedding:
+        # reference dispatch: dump embeddings and exit (:634-637)
+        from uncertainty_vit_tpu.utils.embeddings import visualize_embedding
+
+        variables = load_variables(args, model, sample)
+        out = visualize_embedding(
+            model, variables, _eval_batches(val_loader, args),
+            args.output_dir or ".",
+        )
+        print(f"embeddings written to {out}", flush=True)
+        return out
 
     if args.eval:
         variables = load_variables(args, model, sample)
