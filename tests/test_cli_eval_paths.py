@@ -259,3 +259,50 @@ def test_cli_visualize_embedding(cifar_root, tmp_path):
     feats = np.loadtxt(os.path.join(out, "embeddings.tsv"))
     labels = np.loadtxt(os.path.join(out, "embeddings_labels.tsv"))
     assert feats.ndim == 2 and feats.shape[0] == labels.shape[0] > 0
+
+
+def test_new_reference_flags_wire_through(cifar_root, tmp_path):
+    """Round-2 flag-parity additions: --use_cls, --init_scale, --remode/
+    --recount, --disable_eval_during_finetuning, --no_save_ckpt, and the
+    reference-compat no-ops all parse and drive a short training run."""
+    from uncertainty_vit_tpu.cli import builders as B2
+    from uncertainty_vit_tpu.cli import finetune as FT
+
+    out = str(tmp_path / "flags")
+    args = FT.get_args_parser().parse_args([
+        "--model", "beit_test_patch16_32", "--input_size", "32",
+        "--data_set", "CIFAR100", "--data_path", cifar_root,
+        "--batch_size", "16", "--epochs", "1", "--num_workers", "0",
+        "--output_dir", out, "--dtype", "float32", "--steps_per_epoch", "2",
+        "--mixup", "0.0", "--cutmix", "0.0", "--warmup_epochs", "0",
+        "--use_cls", "--init_scale", "0.01", "--remode", "const",
+        "--recount", "2", "--disable_eval_during_finetuning",
+        "--no_save_ckpt", "--train_interpolation", "bilinear",
+        "--dist_url", "env://", "--world_size", "8", "--pin_mem",
+        "--disable_weight_decay_on_rel_pos_bias",
+    ])
+    cfg = B2.model_config_from_args(args, num_classes=10)
+    assert cfg.use_mean_pooling is False and cfg.init_scale == 0.01
+    state = FT.main(args)
+    assert int(state.step) == 2
+    # --no_save_ckpt + --disable_eval_during_finetuning: no checkpoints, no
+    # test metrics in the log
+    import glob
+    assert not glob.glob(os.path.join(out, "checkpoint-*"))
+    log = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert "test_acc1" not in log[0] and "train_loss" in log[0]
+
+
+def test_unimplemented_aug_knobs_error_explicitly():
+    from uncertainty_vit_tpu.cli import builders as B2
+    from uncertainty_vit_tpu.cli import finetune as FT
+
+    args = FT.get_args_parser().parse_args(["--mixup_mode", "elem"])
+    with pytest.raises(ValueError, match="mixup_mode"):
+        B2.validate_aug_args(args)
+    args = FT.get_args_parser().parse_args(["--cutmix_minmax", "0.2", "0.8"])
+    with pytest.raises(ValueError, match="cutmix_minmax"):
+        B2.validate_aug_args(args)
+    args = FT.get_args_parser().parse_args(["--resplit"])
+    with pytest.raises(ValueError, match="resplit"):
+        B2.validate_aug_args(args)

@@ -47,7 +47,16 @@ def add_model_args(p: argparse.ArgumentParser):
     g.add_argument("--per_block_rel_pos_bias", default=False, type=ast.literal_eval,
                    help="per-block rel-pos tables (the reference hard-codes "
                         "this False; extension)")
+    g.add_argument("--disable_rel_pos_bias", action="store_false",
+                   dest="rel_pos_bias",
+                   help="reference-style negative of --rel_pos_bias")
     g.add_argument("--abs_pos_emb", default=False, type=ast.literal_eval)
+    g.add_argument("--init_scale", type=float, default=0.001,
+                   help="head init multiplier (run_class_finetuning.py:357)")
+    g.add_argument("--use_mean_pooling", default=True, type=ast.literal_eval)
+    g.add_argument("--use_cls", action="store_true",
+                   help="cls-token head instead of mean pooling "
+                        "(run_class_finetuning.py:157-159)")
     g.add_argument("--sinkformer", action="store_true")
     g.add_argument("--gumbel_softmax", action="store_true")
     g.add_argument("--h_sto_trans", action="store_true")
@@ -85,6 +94,9 @@ def add_opt_args(p: argparse.ArgumentParser, lr: float = 2e-3):
     g.add_argument("--update_freq", type=int, default=1)
     g.add_argument("--tri_phase_schedule", type=str, default=None,
                    help="'(warmup_perc, decay_perc)' literal, e.g. '(0.05,0.15)'")
+    g.add_argument("--disable_weight_decay_on_rel_pos_bias", action="store_true",
+                   help="add rel-pos tables to the no-decay set "
+                        "(run_class_finetuning.py:578-581)")
     return g
 
 
@@ -115,6 +127,49 @@ def add_data_args(p: argparse.ArgumentParser):
                         "square canvas center-crops the long side first)")
     g.add_argument("--semi_supervised_ratio", type=float, default=0.0)
     g.add_argument("--data_set_filter_file", type=str, default=None)
+    g.add_argument("--eval_data_path", type=str, default=None,
+                   help="separate root for the eval split (defaults to "
+                        "--data_path)")
+    g.add_argument("--train_interpolation", type=str, default="bicubic",
+                   choices=["bicubic", "bilinear", "random", "lanczos"],
+                   help="RRC resampler; 'random'/'lanczos' map to bicubic "
+                        "on device (documented approximation)")
+    g.add_argument("--second_interpolation", type=str, default="lanczos",
+                   choices=["bicubic", "bilinear", "lanczos"],
+                   help="tokenizer-view resampler (datasets.py:75); lanczos "
+                        "maps to bicubic on device")
+    g.add_argument("--mixup_mode", type=str, default="batch",
+                   help="only 'batch' is implemented (timm elem/pair modes "
+                        "error explicitly)")
+    g.add_argument("--cutmix_minmax", type=float, nargs="+", default=None,
+                   help="not implemented — lambda-based cutmix only; "
+                        "passing it errors explicitly")
+    g.add_argument("--remode", type=str, default="pixel",
+                   choices=["pixel", "const"],
+                   help="random-erasing fill: per-pixel noise or zeros")
+    g.add_argument("--recount", type=int, default=1,
+                   help="number of random-erasing rectangles")
+    g.add_argument("--resplit", action="store_true",
+                   help="not implemented (needs timm aug-splits); errors "
+                        "explicitly when set")
+    # accepted for reference-script copy-paste compatibility; no-ops on the
+    # single-controller TPU runtime (SPMD replaces torch.distributed;
+    # device placement and pinned memory are handled by jax.device_put)
+    noop = p.add_argument_group("reference-compat (no-op on TPU)")
+    noop.add_argument("--device", default="tpu")
+    noop.add_argument("--world_size", type=int, default=1)
+    noop.add_argument("--dist_url", default="env://")
+    noop.add_argument("--local_rank", type=int, default=0)
+    noop.add_argument("--dist_on_itp", action="store_true")
+    noop.add_argument("--pin_mem", action="store_true")
+    noop.add_argument("--no_pin_mem", action="store_false", dest="pin_mem")
+    noop.add_argument("--dist_eval", action="store_true",
+                      help="eval is already sharded by the host loader")
+    noop.add_argument("--enable_deepspeed", action="store_true",
+                      help="bf16 + optax replaces DeepSpeed fp16 (no loss "
+                           "scaling needed on TPU)")
+    noop.add_argument("--model_ema_force_cpu", action="store_true",
+                      help="the EMA pytree lives wherever XLA puts it")
     return g
 
 
@@ -133,6 +188,15 @@ def add_io_args(p: argparse.ArgumentParser):
     g.add_argument("--log_dir", default=None, type=str)
     g.add_argument("--save_ckpt_freq", type=int, default=20)
     g.add_argument("--auto_resume", default=True, type=ast.literal_eval)
+    g.add_argument("--no_auto_resume", action="store_false", dest="auto_resume")
+    g.add_argument("--start_epoch", type=int, default=0)
+    g.add_argument("--save_ckpt", default=True, type=ast.literal_eval)
+    g.add_argument("--no_save_ckpt", action="store_false", dest="save_ckpt")
+    g.add_argument("--model_key", default="model|module",
+                   help="checkpoint container keys (the importer probes "
+                        "these automatically; flag kept for recipe parity)")
+    g.add_argument("--model_prefix", default="",
+                   help="strip this prefix from checkpoint keys on import")
     g.add_argument("--resume", default="", type=str)
     g.add_argument("--finetune", default="", type=str,
                    help="torch .pth or orbax checkpoint to initialize from")
@@ -173,6 +237,8 @@ def model_config_from_args(args, num_classes: int) -> ViTConfig:
         head_type=head_type,
         sngp_fc_norm=args.sngp,
         sngp_momentum=getattr(args, "sngp_cov_momentum", 0.999),
+        use_mean_pooling=args.use_mean_pooling and not args.use_cls,
+        init_scale=args.init_scale,
         learn_layer_weights=args.learn_layer_weights,
         layernorm_before_combine=args.layernorm_before_combine,
         linear_classifier=args.linear_classifier,
@@ -207,8 +273,12 @@ def build_lr_schedules(args, steps_per_epoch: int):
 
 
 def build_optimizer(args, params, lr_schedule, wd_schedule, depth: int):
+    skip = ["pos_embed", "cls_token"]
+    if getattr(args, "disable_weight_decay_on_rel_pos_bias", False):
+        skip.append("relative_position_bias_table")
     return make_optimizer(
         params, lr_schedule,
+        skip_names=tuple(skip),
         weight_decay=args.weight_decay,
         wd_schedule=wd_schedule,
         clip_grad=args.clip_grad,
@@ -239,8 +309,11 @@ def build_loaders(
             "zero-filled canvas margins"
         )
     decode = args.decode_size or (args.input_size * 8 // 7 if args.input_size > 64 else None)
+    data_path = args.data_path
+    if not is_train and getattr(args, "eval_data_path", None):
+        data_path = args.eval_data_path
     dataset, nb_classes = build_dataset(
-        is_train, args.data_set, args.data_path,
+        is_train, args.data_set, data_path,
         semi_supervised_ratio=getattr(args, "semi_supervised_ratio", 0.0) if is_train else 0.0,
         triplet=triplet,
         decode_size=decode,
@@ -254,6 +327,25 @@ def build_loaders(
         host_id=jax.process_index(), num_hosts=jax.process_count(),
     )
     return loader, nb_classes
+
+
+def interp_method(name: str) -> str:
+    """Map reference interpolation names onto the device resampler's
+    supported kernels (bicubic/bilinear); 'random' and 'lanczos' use bicubic
+    (documented approximation — the 4-tap cubic is the closest kernel)."""
+    return "bilinear" if name == "bilinear" else "bicubic"
+
+
+def validate_aug_args(args) -> None:
+    """Explicit errors for accepted-but-unimplemented reference knobs."""
+    if getattr(args, "mixup_mode", "batch") != "batch":
+        raise ValueError("only --mixup_mode batch is implemented")
+    if getattr(args, "cutmix_minmax", None):
+        raise ValueError(
+            "--cutmix_minmax is not implemented (lambda-based cutmix only)"
+        )
+    if getattr(args, "resplit", False):
+        raise ValueError("--resplit requires timm aug-splits; not implemented")
 
 
 def compute_dtype(args):

@@ -58,6 +58,17 @@ def get_args_parser():
     g.add_argument("--target_layer", type=int, default=-1,
                    help="truncate blocks to [:N+1] (run_class_finetuning.py:520-522)")
     g.add_argument("--remove_final_norm", action="store_true")
+    g.add_argument("--disable_eval_during_finetuning", action="store_true")
+    g.add_argument("--dual_finetune", action="store_true",
+                   help="keep the checkpoint head/norms verbatim on import "
+                        "(run_class_finetuning.py:408-418 skips the "
+                        "shape-mismatch head drop)")
+    g.add_argument("--reinit_final_norm", action="store_true",
+                   help="drop norm/fc_norm from the imported checkpoint "
+                        "(run_class_finetuning.py:413-417)")
+    g.add_argument("--laplace", action="store_true",
+                   help="dead in the reference (import commented out, "
+                        "run_class_finetuning.py:40); errors explicitly")
     g.add_argument("--lambda_finetuning", type=float, default=1e-4)
     g.add_argument("--lambda_pvn", type=float, default=1e-4)
     e = p.add_argument_group("evaluation")
@@ -146,7 +157,19 @@ def load_variables(args, model, sample, return_missing: bool = False):
     if args.finetune:
         if args.finetune.endswith((".pth", ".pt")):
             sd = C.load_torch_state_dict(args.finetune)
-            params, missing, unused = C.import_torch_params(sd, variables["params"])
+            prefix = getattr(args, "model_prefix", "")
+            if prefix:
+                sd = {k[len(prefix):] if k.startswith(prefix) else k: v
+                      for k, v in sd.items()}
+            if getattr(args, "reinit_final_norm", False):
+                # run_class_finetuning.py:413-417
+                sd = {k: v for k, v in sd.items()
+                      if k not in ("norm.weight", "norm.bias",
+                                   "fc_norm.weight", "fc_norm.bias")}
+            params, missing, unused = C.import_torch_params(
+                sd, variables["params"],
+                keep_mismatched_head=getattr(args, "dual_finetune", False),
+            )
             print(f"imported {args.finetune}: {len(missing)} missing, {len(unused)} unused",
                   flush=True)
             variables = dict(variables, params=params)
@@ -313,6 +336,12 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
 
 def main(args):
     setup_jax()
+    B.validate_aug_args(args)
+    if getattr(args, "laplace", False):
+        raise ValueError(
+            "--laplace is dead code in the reference (its import is "
+            "commented out, run_class_finetuning.py:40) and not carried"
+        )
     print(f"devices: {jax.devices()}", flush=True)
     triplet = args.stochastic and not args.eval
 
@@ -384,7 +413,7 @@ def main(args):
         state = state.replace(params=params, opt_state=tx.init(params))
         train_step = make_finetune_train_step(model, tx, hp, lr_schedule)
 
-    start_epoch = 0
+    start_epoch = args.start_epoch
     if args.auto_resume and not args.resume:
         state, start_epoch = C.auto_load(args.output_dir, state)
     elif args.resume:
@@ -428,7 +457,9 @@ def main(args):
                 img = finetune_train_augment_batch(
                     akey, jnp.asarray(img_u8), args.input_size,
                     args.color_jitter, args.reprob,
-                    args.imagenet_default_mean_and_std, **aa_kw,
+                    args.imagenet_default_mean_and_std,
+                    interpolation=B.interp_method(args.train_interpolation),
+                    re_mode=args.remode, re_count=args.recount, **aa_kw,
                 )
                 pos = next(_eval_batches([(pos_u8, labels)], args))[0]
                 neg = next(_eval_batches([(neg_u8, labels)], args))[0]
@@ -441,7 +472,9 @@ def main(args):
                 images = finetune_train_augment_batch(
                     akey, jnp.asarray(images_u8), args.input_size,
                     args.color_jitter, args.reprob,
-                    args.imagenet_default_mean_and_std, valid_hw=vhw, **aa_kw,
+                    args.imagenet_default_mean_and_std, valid_hw=vhw,
+                    interpolation=B.interp_method(args.train_interpolation),
+                    re_mode=args.remode, re_count=args.recount, **aa_kw,
                 )
                 state, metrics = train_step(state, images, jnp.asarray(labels), rng)
             loss = float(metrics["loss"])
@@ -451,6 +484,17 @@ def main(args):
             tb.set_step()
 
         # per-epoch eval (run_class_finetuning.py:714-731)
+        if args.disable_eval_during_finetuning:
+            jsonl.write({
+                "epoch": epoch,
+                **{f"train_{k}": v for k, v in logger.epoch_summary().items()},
+            })
+            if args.save_ckpt and args.output_dir and (
+                (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
+            ):
+                C.save_checkpoint(args.output_dir, epoch, state)
+            tb.flush()
+            continue
         eval_vars = {"params": state.params}
         for col in ("sngp_state", "sngp_frozen", "spectral_stats"):
             v = getattr(state, col, None)
@@ -480,7 +524,7 @@ def main(args):
             **{f"test_{k}": v for k, v in test.items()},
             "best_acc1": best_acc,
         })
-        if args.output_dir and (
+        if args.save_ckpt and args.output_dir and (
             (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
         ):
             C.save_checkpoint(args.output_dir, epoch, state)

@@ -44,6 +44,9 @@ def get_args_parser():
     g.add_argument("--target_layers", type=str, default="[6,7,8,9,10,11]")
     g.add_argument("--layer_results", type=str, default="end", choices=["end", "fc"])
     g.add_argument("--l1_beta", type=float, default=2.0)
+    g.add_argument("--seed_model", type=str, default="",
+                   help="alias of --finetune for the pretrainer "
+                        "(run_cyclical.py:332)")
     g.add_argument("--l2_loss", action="store_true")
     g.add_argument("--var_w0", type=float, default=0.0)
     g.add_argument("--var_margin0", type=float, default=0.5)
@@ -63,6 +66,8 @@ def get_args_parser():
                    help="freeze the EMA teacher once the tri-phase decay "
                         "starts (run_cyclical.py:537-539)")
     g.add_argument("--target_layer_norm_last", default=True, type=ast.literal_eval)
+    g.add_argument("--no_target_layer_norm_last", action="store_false",
+                   dest="target_layer_norm_last")
     g.add_argument("--target_batch_norm", action="store_true")
     g.add_argument("--target_instance_norm", action="store_true")
     g.add_argument("--post_target_instance_norm", action="store_true")
@@ -73,6 +78,10 @@ def get_args_parser():
 
 def main(args):
     setup_jax()
+    if getattr(args, "seed_model", "") and not args.finetune:
+        # reference --seed_model: initialize the pretrainer from a
+        # checkpoint incl. surgery (run_cyclical.py:332-460)
+        args.finetune = args.seed_model
     print(f"devices: {jax.devices()}", flush=True)
 
     loader, _ = B.build_loaders(args, is_train=True)

@@ -36,6 +36,9 @@ def get_args_parser():
     g.add_argument("--target_layers", type=str, default="[6,7,8,9,10,11]")
     g.add_argument("--layer_results", type=str, default="end")
     g.add_argument("--l1_beta", type=float, default=2.0)
+    g.add_argument("--seed_model", type=str, default="",
+                   help="alias of --finetune for the pretrainer "
+                        "(run_cyclical.py:332)")
     g.add_argument("--ema_decay", type=float, default=0.9998)
     g.add_argument("--ema_decay_init", type=float, default=0.999)
     g.add_argument("--ema_start_at", type=int, default=0)
@@ -53,6 +56,10 @@ def get_args_parser():
 
 def main(args):
     setup_jax()
+    if getattr(args, "seed_model", "") and not args.finetune:
+        # reference --seed_model: initialize the pretrainer from a
+        # checkpoint incl. surgery (run_cyclical.py:332-460)
+        args.finetune = args.seed_model
     loader, _ = B.build_loaders(args, is_train=True)
     steps_per_epoch = args.steps_per_epoch or len(loader)
     cfg = B.model_config_from_args(args, num_classes=0).replace(head_type="none")

@@ -512,8 +512,17 @@ def random_erasing_batch(
     scale: Tuple[float, float] = (0.02, 1.0 / 3.0),
     ratio: Tuple[float, float] = (0.3, 10.0 / 3.0),
     attempts: int = 10,
+    mode: str = "pixel",
+    count: int = 1,
 ) -> jnp.ndarray:
-    """Planar [B, C, H, W] batched timm RandomErasing (per-pixel noise fill)."""
+    """Planar [B, C, H, W] batched timm RandomErasing. mode: 'pixel'
+    (per-pixel noise, timm default) or 'const' (zero fill); count erases
+    `count` independent rectangles (timm --recount)."""
+    for i in range(count - 1):
+        imgs = random_erasing_batch(
+            jax.random.fold_in(key, 1000 + i), imgs, prob, scale, ratio,
+            attempts, mode, 1,
+        )
     b, c, h, w = imgs.shape
     kp, ka, kr, ki, kj, kn = jax.random.split(key, 6)
     apply = jax.random.bernoulli(kp, prob, (b,))
@@ -547,8 +556,11 @@ def random_erasing_batch(
         (rows >= bc(top)) & (rows < bc(top + eh))
         & (cols >= bc(left)) & (cols < bc(left + ew))
     )
-    noise = jax.random.normal(kn, imgs.shape, imgs.dtype)
-    return jnp.where(bc(ok) & region, noise, imgs)
+    if mode == "const":
+        fill = jnp.zeros_like(imgs)
+    else:
+        fill = jax.random.normal(kn, imgs.shape, imgs.dtype)
+    return jnp.where(bc(ok) & region, fill, imgs)
 
 
 # ---------------------------------------------------------------------------
@@ -611,7 +623,8 @@ def pretrain_augment_batch(
     jax.jit,
     static_argnames=("out_size", "color_jitter_strength", "reprob",
                      "imagenet_default_mean_and_std", "hflip", "auto_augment",
-                     "aa_magnitude", "aa_magnitude_std"),
+                     "aa_magnitude", "aa_magnitude_std", "interpolation",
+                     "re_mode", "re_count"),
 )
 def finetune_train_augment_batch(
     key: jax.Array,
@@ -625,6 +638,9 @@ def finetune_train_augment_batch(
     aa_magnitude: float = 9.0,
     aa_magnitude_std: float = 0.5,
     valid_hw: Optional[jnp.ndarray] = None,
+    interpolation: str = "bicubic",
+    re_mode: str = "pixel",
+    re_count: int = 1,
 ) -> jnp.ndarray:
     """Finetune train transform core (timm create_transform as invoked at
     run_class_finetuning.py:117 / datasets.py:221-239): RRC + hflip +
@@ -638,7 +654,9 @@ def finetune_train_augment_batch(
     imgs = to_planar(images_u8)
     kc, kf, kj, ke = jax.random.split(key, 4)
 
-    imgs = random_resized_crop_batch(kc, imgs, out_size, valid_hw=valid_hw)
+    imgs = random_resized_crop_batch(
+        kc, imgs, out_size, method=interpolation, valid_hw=valid_hw
+    )
     imgs = random_hflip_batch(kf, imgs, hflip)
     if auto_augment:
         imgs = randaugment.rand_augment_batch(
@@ -651,14 +669,15 @@ def finetune_train_augment_batch(
     pstd = jnp.asarray(std, jnp.float32).reshape(1, 3, 1, 1)
     imgs = (imgs - pmean) / pstd
     if reprob > 0:
-        imgs = random_erasing_batch(ke, imgs, prob=reprob)
+        imgs = random_erasing_batch(ke, imgs, prob=reprob, mode=re_mode, count=re_count)
     return from_planar(imgs)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("out_size", "second_size", "imagenet_default_mean_and_std",
-                     "color_jitter_strength", "discrete_vae_type"),
+                     "color_jitter_strength", "discrete_vae_type",
+                     "second_interpolation"),
 )
 def pretrain_two_view_batch(
     key: jax.Array,
@@ -668,6 +687,7 @@ def pretrain_two_view_batch(
     imagenet_default_mean_and_std: bool = True,
     color_jitter_strength: float = 0.4,
     discrete_vae_type: str = "none",
+    second_interpolation: str = "bicubic",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """DataAugmentationForBEiT two-pic path (datasets.py:70-118), fully
     batched — ONE jitted program per step, no per-sample Python tracing.
@@ -697,7 +717,10 @@ def pretrain_two_view_batch(
         crop_and_resize_batch(imgs, top, left, ch, cw, (out_size, out_size)), 0.0, 1.0
     )
     second = jnp.clip(
-        crop_and_resize_batch(imgs, top, left, ch, cw, (second_size, second_size)),
+        crop_and_resize_batch(
+            imgs, top, left, ch, cw, (second_size, second_size),
+            second_interpolation,
+        ),
         0.0, 1.0,
     )
 

@@ -241,6 +241,7 @@ def import_torch_params(
     state_dict: Dict[str, np.ndarray],
     params_template: Any,
     expand_shared_rel_pos: bool = True,
+    keep_mismatched_head: bool = False,
 ) -> Tuple[Any, List[str], List[str]]:
     """Fill our param tree from a reference state_dict.
 
@@ -280,7 +281,14 @@ def import_torch_params(
                 if name == "relative_position_bias_table" and value.shape != leaf.shape:
                     value = interpolate_rel_pos_table(value, leaf.shape[0])
                 if value.shape != leaf.shape:
-                    # e.g. class-count mismatch: drop and keep init (:409-412)
+                    # e.g. class-count mismatch: drop and keep init
+                    # (:409-412); --dual_finetune (:408) keeps the head
+                    # verbatim, which then fails loudly here instead
+                    if keep_mismatched_head:
+                        raise ValueError(
+                            f"--dual_finetune: checkpoint {tkey} shape "
+                            f"{value.shape} != model {leaf.shape}"
+                        )
                     value = None
         if value is None:
             missing.append("/".join(keypath))
