@@ -415,9 +415,18 @@ def main(args):
 
     start_epoch = args.start_epoch
     if args.auto_resume and not args.resume:
-        state, start_epoch = C.auto_load(args.output_dir, state)
+        state, resumed_epoch = C.auto_load(args.output_dir, state)
+        # reference auto_load only moves start_epoch when a checkpoint was
+        # actually found (utils.py:487-545); --start_epoch otherwise wins
+        start_epoch = max(start_epoch, resumed_epoch)
     elif args.resume:
         state = C.restore_checkpoint(args.resume, state)
+    if start_epoch and int(state.step) == 0:
+        # fresh start at a later epoch: advance the in-graph schedules like
+        # the reference's it = epoch * steps_per_epoch indexing
+        state = state.replace(
+            step=jnp.asarray(start_epoch * steps_per_epoch, jnp.int32)
+        )
 
     tb = TensorboardLogger(args.log_dir or args.output_dir)
     jsonl = JsonlLogger(args.output_dir)
@@ -484,23 +493,15 @@ def main(args):
             tb.set_step()
 
         # per-epoch eval (run_class_finetuning.py:714-731)
-        if args.disable_eval_during_finetuning:
-            jsonl.write({
-                "epoch": epoch,
-                **{f"train_{k}": v for k, v in logger.epoch_summary().items()},
-            })
-            if args.save_ckpt and args.output_dir and (
-                (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
-            ):
-                C.save_checkpoint(args.output_dir, epoch, state)
-            tb.flush()
-            continue
+        test = None
         eval_vars = {"params": state.params}
         for col in ("sngp_state", "sngp_frozen", "spectral_stats"):
             v = getattr(state, col, None)
             if v is not None:
                 eval_vars[col] = v
-        if args.stochastic:
+        if args.disable_eval_during_finetuning:
+            pass
+        elif args.stochastic:
             logits_all, labels_all = [], []
             for images, labels in _eval_batches(val_loader, args):
                 logits_all.append(np.asarray(eval_forward(eval_vars, images), np.float32))
@@ -512,18 +513,21 @@ def main(args):
         else:
             test = E.evaluate(model, eval_vars, _eval_batches(val_loader, args),
                               forward=eval_forward)
-        print(f"epoch {epoch}: " + ", ".join(f"{k}={v:.4f}" for k, v in sorted(test.items())),
-              flush=True)
-        if test["acc1"] > best_acc:
-            best_acc = test["acc1"]
-            if args.output_dir:
-                C.save_checkpoint(args.output_dir, "best", state)
-        jsonl.write({
+        record = {
             "epoch": epoch,
             **{f"train_{k}": v for k, v in logger.epoch_summary().items()},
-            **{f"test_{k}": v for k, v in test.items()},
-            "best_acc1": best_acc,
-        })
+        }
+        if test is not None:
+            print(f"epoch {epoch}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in sorted(test.items())), flush=True)
+            if test["acc1"] > best_acc:
+                best_acc = test["acc1"]
+                # the best save honors --no_save_ckpt like the periodic one
+                if args.save_ckpt and args.output_dir:
+                    C.save_checkpoint(args.output_dir, "best", state)
+            record.update({f"test_{k}": v for k, v in test.items()})
+            record["best_acc1"] = best_acc
+        jsonl.write(record)
         if args.save_ckpt and args.output_dir and (
             (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
         ):

@@ -50,11 +50,13 @@ def two_view_batch(args, key, images_u8):
         key, jnp.asarray(images_u8), args.input_size, args.second_input_size,
         args.imagenet_default_mean_and_std, args.color_jitter,
         args.discrete_vae_type,
+        second_interpolation=B.interp_method(args.second_interpolation),
     )
 
 
 def main(args):
     setup_jax()
+    B.validate_aug_args(args)
     loader, _ = B.build_loaders(args, is_train=True)
     steps_per_epoch = args.steps_per_epoch or len(loader)
     cfg = B.model_config_from_args(args, num_classes=0).replace(head_type="none")

@@ -78,6 +78,7 @@ def get_args_parser():
 
 def main(args):
     setup_jax()
+    B.validate_aug_args(args)
     if getattr(args, "seed_model", "") and not args.finetune:
         # reference --seed_model: initialize the pretrainer from a
         # checkpoint incl. surgery (run_cyclical.py:332-460)

@@ -56,6 +56,7 @@ def get_args_parser():
 
 def main(args):
     setup_jax()
+    B.validate_aug_args(args)
     if getattr(args, "seed_model", "") and not args.finetune:
         # reference --seed_model: initialize the pretrainer from a
         # checkpoint incl. surgery (run_cyclical.py:332-460)
@@ -80,6 +81,13 @@ def main(args):
         dvae_vars = C.restore_checkpoint(args.discrete_vae_weight_path, dvae_vars)
 
     params = model.init(rng, sample, sample_mask)["params"]
+    if args.finetune and args.finetune.endswith((".pth", ".pt")):
+        # --seed_model / --finetune: torch-checkpoint init + surgery
+        # (run_cyclical.py:332-460)
+        sd = C.load_torch_state_dict(args.finetune)
+        params, missing, unused = C.import_torch_params(sd, params)
+        print(f"seeded from {args.finetune}: {len(missing)} missing, "
+              f"{len(unused)} unused", flush=True)
     lr_schedule, wd_schedule, _ = B.build_lr_schedules(args, steps_per_epoch)
     tx = B.build_optimizer(args, params, lr_schedule, wd_schedule, cfg.depth)
     state = CyclicalState(

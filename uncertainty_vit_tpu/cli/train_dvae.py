@@ -129,6 +129,7 @@ def make_dvae_train_step(model: DiscreteVAE, tx, args):
 
 def main(args):
     setup_jax()
+    B.validate_aug_args(args)
     loader, _ = B.build_loaders(args, is_train=True)
     steps_per_epoch = args.steps_per_epoch or len(loader)
 

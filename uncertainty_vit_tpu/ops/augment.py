@@ -516,16 +516,25 @@ def random_erasing_batch(
     count: int = 1,
 ) -> jnp.ndarray:
     """Planar [B, C, H, W] batched timm RandomErasing. mode: 'pixel'
-    (per-pixel noise, timm default) or 'const' (zero fill); count erases
-    `count` independent rectangles (timm --recount)."""
-    for i in range(count - 1):
-        imgs = random_erasing_batch(
-            jax.random.fold_in(key, 1000 + i), imgs, prob, scale, ratio,
-            attempts, mode, 1,
-        )
+    (per-pixel noise, timm default) or 'const' (zero fill). timm --recount
+    semantics: ONE bernoulli(prob) gate per image, then `count` rectangles
+    each drawing target_area = uniform(scale)·area/count."""
+    if count <= 0:
+        return imgs
     b, c, h, w = imgs.shape
-    kp, ka, kr, ki, kj, kn = jax.random.split(key, 6)
+    kp = jax.random.fold_in(key, 0)
     apply = jax.random.bernoulli(kp, prob, (b,))
+    for i in range(count):
+        imgs = _erase_one(
+            jax.random.fold_in(key, 1 + i), imgs, apply,
+            (scale[0] / count, scale[1] / count), ratio, attempts, mode,
+        )
+    return imgs
+
+
+def _erase_one(key, imgs, apply, scale, ratio, attempts, mode):
+    b, c, h, w = imgs.shape
+    ka, kr, ki, kj, kn = jax.random.split(key, 5)
 
     area = float(h * w)
     target = area * jax.random.uniform(ka, (b, attempts), minval=scale[0], maxval=scale[1])
