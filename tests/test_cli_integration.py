@@ -53,6 +53,28 @@ def test_cli_pretrain_cyclical(cifar_root, tmp_path):
     assert log and np.isfinite(log[0]["train_loss"])
 
 
+def test_cli_pretrain_cyclical_gp_layer(cifar_root, tmp_path):
+    """--gp_layer: the student's lm_head is an SNGP module
+    (modeling_cyclical.py:133) whose precision matrix streams during
+    pretraining."""
+    out = str(tmp_path / "cyc_gp")
+    args = PC.get_args_parser().parse_args(common_flags(cifar_root, out, (
+        "--num_mask_patches", "2", "--min_mask_patches_per_block", "1",
+        "--target_layers", "[0,1]", "--steps_per_epoch", "2", "--gp_layer",
+    )))
+    state = PC.main(args)
+    assert int(state.step) == 2
+    assert state.sngp_state is not None and state.sngp_frozen is not None
+    # lm_head params exist and the GP precision matrix moved off its
+    # ridge-initialized value (update_cov streams every train step).
+    assert "lm_head" in state.params
+    prec = state.sngp_state["lm_head"]["precision_matrix"]
+    ridge_init = 1e-3 * np.eye(prec.shape[0])
+    assert not np.allclose(np.asarray(prec), ridge_init)
+    log = [json.loads(l) for l in open(os.path.join(out, "log.txt"))]
+    assert log and np.isfinite(log[0]["train_loss"])
+
+
 def test_cli_finetune_train_and_best_ckpt(cifar_root, tmp_path):
     out = str(tmp_path / "ft")
     args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, (

@@ -89,8 +89,18 @@ def main(args):
     steps_per_epoch = args.steps_per_epoch or len(loader)
     cfg = B.model_config_from_args(args, num_classes=0).replace(head_type="none")
     dtype = B.compute_dtype(args)
-    model_cls = DistCyclicalViT if args.stochastic else CyclicalViT
-    model = model_cls(cfg=cfg, dtype=dtype)
+    if args.stochastic:
+        if args.gp_layer:
+            raise ValueError(
+                "--gp_layer is only supported by the non-stochastic cyclical "
+                "model (modeling_cyclical.py:133); the dist variant has no "
+                "SNGP lm_head in the reference (modeling_cyclical_dist.py)."
+            )
+        model = DistCyclicalViT(cfg=cfg, dtype=dtype)
+    else:
+        # --gp_layer: student lm_head becomes an SNGP module
+        # (run_cyclical.py --gp_layer → modeling_cyclical.py:133).
+        model = CyclicalViT(cfg=cfg, gp_layer=args.gp_layer, dtype=dtype)
 
     start_lr_decay_at_step = args.start_lr_decay_at_step
     if args.tri_phase_schedule and args.skip_ema_during_lr_decay_for_tri:
@@ -126,6 +136,7 @@ def main(args):
         start_lr_decay_at_step=start_lr_decay_at_step,
         stochastic=args.stochastic,
         lambda_pretraining=args.lambda_pretraining,
+        gp_layer=args.gp_layer,
     )
     lr_schedule, wd_schedule, total_steps = B.build_lr_schedules(args, steps_per_epoch)
 

@@ -29,6 +29,10 @@ class CyclicalState:
     opt_state: Any
     ema_params: Any
     step: jnp.ndarray
+    # SNGP lm_head state when pretraining with --gp_layer
+    # (modeling_cyclical.py:133: the student's lm_head is an SNGP module).
+    sngp_state: Optional[Any] = None  # streaming GP precision matrix
+    sngp_frozen: Optional[Any] = None  # frozen RFF projection (never updated)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +61,9 @@ class CyclicalHParams:
     # stochastic (dist) variant
     stochastic: bool = False
     lambda_pretraining: float = 1e-5
+    # SNGP lm_head (--gp_layer, modeling_cyclical.py:133): threads the
+    # 'sngp_state'/'sngp_frozen' collections through the student forward.
+    gp_layer: bool = False
 
 
 def _ln(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -158,13 +165,24 @@ def make_cyclical_train_step(
             cov_targets = None
 
         def loss_fn(params):
-            student_out = model.apply(
-                {"params": params},
+            variables = {"params": params}
+            mutable = []
+            extra = {}
+            if hp.gp_layer:
+                variables["sngp_frozen"] = state.sngp_frozen
+                variables["sngp_state"] = state.sngp_state
+                mutable = ["sngp_state"]
+                extra["update_sngp_cov"] = True
+            out = model.apply(
+                variables,
                 images,
                 mask,
                 deterministic=False,
                 rngs={"dropout": r_drop, "droppath": r_path},
+                mutable=mutable if mutable else False,
+                **extra,
             )
+            student_out, new_vars = out if mutable else (out, {})
             if hp.stochastic:
                 outputs, cov_outputs = student_out
                 outputs = outputs.astype(jnp.float32)
@@ -192,9 +210,9 @@ def make_cyclical_train_step(
                 )
             if hp.loss_scale != -1:
                 loss = loss * hp.loss_scale
-            return loss, (loss_cyc, std_loss0)
+            return loss, (loss_cyc, std_loss0, new_vars)
 
-        (loss, (loss_cyc, std_loss0)), grads = jax.value_and_grad(
+        (loss, (loss_cyc, std_loss0, new_vars)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
 
@@ -216,6 +234,8 @@ def make_cyclical_train_step(
             opt_state=opt_state,
             ema_params=ema_params,
             step=state.step + 1,
+            sngp_state=new_vars.get("sngp_state", state.sngp_state),
+            sngp_frozen=state.sngp_frozen,
         )
         metrics = {
             "loss": loss,
@@ -235,10 +255,13 @@ def make_cyclical_train_step(
 def init_cyclical_state(
     model, tx: optax.GradientTransformation, rng, sample_images, sample_mask
 ) -> CyclicalState:
-    params = model.init(rng, sample_images, sample_mask)["params"]
+    variables = model.init(rng, sample_images, sample_mask)
+    params = variables["params"]
     return CyclicalState(
         params=params,
         opt_state=tx.init(params),
         ema_params=jax.tree_util.tree_map(jnp.copy, params),
         step=jnp.zeros([], jnp.int32),
+        sngp_state=variables.get("sngp_state"),
+        sngp_frozen=variables.get("sngp_frozen"),
     )
