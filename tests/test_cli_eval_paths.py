@@ -176,6 +176,33 @@ def test_cli_eval_perturbed_mc_dropout(cifar_root, tmp_path, monkeypatch):
     assert "rotate" in results["perturbation"]["per_perturbation"]
 
 
+def test_cli_eval_perturbed_ensembles(cifar_root, tmp_path, monkeypatch):
+    """ensembles_p_evaluate wiring (uncertainty_evaluations.py:724-737,
+    dispatched at :635): member-mean logits per perturbation frame."""
+    import uncertainty_vit_tpu.evals.robustness as R
+
+    members = []
+    for i in range(2):
+        out = str(tmp_path / f"pm{i}")
+        args = FT.get_args_parser().parse_args(flags(cifar_root, out, (
+            "--steps_per_epoch", "1", "--mixup", "0.0", "--cutmix", "0.0",
+            "--seed", str(i), "--save_ckpt_freq", "1",
+        )))
+        FT.main(args)
+        members.append(os.path.join(out, "checkpoint-0"))
+
+    monkeypatch.setattr(R, "PERTURBATIONS", ("rotate",))
+    args = FT.get_args_parser().parse_args(flags(cifar_root, str(tmp_path / "pens"), (
+        "--eval", "--perturbed_data", "--ensembles",
+        "--ensemble_checkpoints", *members,
+        "--perturbation_data_path", os.path.join(cifar_root, "cifar-100-p"),
+    )))
+    results = FT.main(args)
+    p = results["perturbation"]
+    assert "rotate" in p["per_perturbation"]
+    assert 0.0 <= p["mean_flip_prob"] <= 1.0
+
+
 def test_cli_sngp_exact_accumulation_resets_per_epoch(cifar_root, tmp_path, monkeypatch):
     """--sngp_cov_momentum <= 0: reset_cov fires at the start of every epoch
     (modeling_finetune.py:596-616) and exact accumulation sums phi^T phi."""

@@ -291,6 +291,15 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
                 split_at=args.mc_dropout_split_at,
             )
             fwd = lambda imgs: mc(variables, imgs, jax.random.PRNGKey(0))
+        elif args.ensembles:
+            # ensembles_p_evaluate (uncertainty_evaluations.py:724-737,
+            # dispatched at :635): mean member logits per frame batch
+            from uncertainty_vit_tpu.evals.ensembles import (
+                ensemble_mean_logits, make_ensemble_forward,
+            )
+            stacked = stack_params(_load_ensemble_members(args, variables))
+            efwd = make_ensemble_forward(model)
+            fwd = lambda imgs: ensemble_mean_logits(efwd(stacked, imgs))
         else:
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
 
