@@ -168,6 +168,81 @@ def test_finetune_train_step_learns():
     assert losses[-1] < losses[0] - 0.1, losses
 
 
+def test_ema_and_lr_accounting_under_update_freq():
+    """With update_freq=2 the reference updates EMA only on accumulation
+    boundaries (engine_for_finetuning.py:110-127) and indexes the schedule in
+    update units (:66). Per-mini-step EMA decay would compound to
+    decay^update_freq; the logged LR would run ahead of the real one."""
+    model = VisionTransformer(cfg=TINY)
+    decay = 0.9
+    hp = FinetuneHParams(num_classes=5, mixup_active=False, label_smoothing=0.0,
+                         num_patches=TINY.num_patches, update_freq=2,
+                         model_ema_decay=decay)
+    lr = schedules.cosine_schedule(1e-3, 1e-5, 10, warmup_steps=0)  # decaying
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 5
+
+    params0 = model.init(jax.random.PRNGKey(0), images)["params"]
+    tx = make_optimizer(params0, lr, weight_decay=0.0, accum_steps=2)
+    state = init_finetune_state(model, tx, jax.random.PRNGKey(0), images,
+                                use_model_ema=True)
+    step = make_finetune_train_step(model, tx, hp, lr)
+    ema0 = jax.tree_util.tree_map(np.asarray, state.model_ema)
+
+    # mini-step 1: params are frozen by MultiSteps → EMA must not move
+    state, m1 = step(state, images, labels, jax.random.PRNGKey(3))
+    for a, b in zip(jax.tree_util.tree_leaves(state.model_ema),
+                    jax.tree_util.tree_leaves(ema0)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    assert float(m1["lr"]) == pytest.approx(float(lr(0)))
+
+    # mini-step 2 (boundary): exactly ONE decay toward the updated params
+    state, m2 = step(state, images, labels, jax.random.PRNGKey(3))
+    assert float(m2["lr"]) == pytest.approx(float(lr(0)))
+    for e, e0, p in zip(jax.tree_util.tree_leaves(state.model_ema),
+                        jax.tree_util.tree_leaves(ema0),
+                        jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(
+            np.asarray(e), decay * e0 + (1 - decay) * np.asarray(p),
+            rtol=1e-5, atol=1e-7,
+        )
+
+    # mini-steps 3-4 report the SECOND schedule value, which differs
+    state, m3 = step(state, images, labels, jax.random.PRNGKey(3))
+    assert float(m3["lr"]) == pytest.approx(float(lr(1)))
+    assert float(lr(1)) != pytest.approx(float(lr(0)))
+
+
+def test_cyclical_ema_teacher_gated_by_update_freq():
+    """The EMA teacher must also hold during accumulation mini-steps and index
+    its decay warmup in update units."""
+    model = CyclicalViT(cfg=TINY)
+    hp = CyclicalHParams(target_layers=(0, 1), ema_decay=0.9, update_freq=2)
+    lr = schedules.constant_schedule(1e-3)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    mask = jnp.zeros((4, TINY.num_patches)).at[:, :2].set(1.0)
+    tx = make_optimizer(
+        model.init(jax.random.PRNGKey(0), images, mask)["params"], lr,
+        weight_decay=0.0, accum_steps=2,
+    )
+    state = init_cyclical_state(model, tx, jax.random.PRNGKey(0), images, mask)
+    step = make_cyclical_train_step(model, tx, hp, lr, donate=False)
+    e0 = jax.tree_util.tree_map(np.asarray, state.ema_params)
+
+    state, _ = step(state, images, mask, jax.random.PRNGKey(7))
+    for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(e0)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+
+    state, _ = step(state, images, mask, jax.random.PRNGKey(7))
+    moved = any(
+        not np.allclose(np.asarray(a), b)
+        for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                        jax.tree_util.tree_leaves(e0))
+    )
+    assert moved
+
+
 def test_finetune_step_with_mixup_runs():
     model = VisionTransformer(cfg=TINY)
     hp = FinetuneHParams(num_classes=5, mixup_active=True, num_patches=TINY.num_patches)

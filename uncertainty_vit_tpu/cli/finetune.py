@@ -402,6 +402,7 @@ def main(args):
             mixup_prob=args.mixup_prob, mixup_switch_prob=args.mixup_switch_prob,
             label_smoothing=args.smoothing,
             lambda_finetuning=args.lambda_finetuning, lambda_pvn=args.lambda_pvn,
+            update_freq=max(1, args.update_freq),
         )
         state = init_dist_finetune_state(model, tx, rng, sample)
         state = state.replace(params=params, opt_state=tx.init(params))
@@ -413,7 +414,7 @@ def main(args):
             label_smoothing=args.smoothing, mixup_active=mixup_active,
             masked_position_prob=args.masked_position_prob,
             num_patches=cfg.num_patches, model_ema_decay=args.model_ema_decay,
-            head_type=cfg.head_type,
+            head_type=cfg.head_type, update_freq=max(1, args.update_freq),
         )
         state = init_finetune_state(
             model, tx, rng, sample, use_model_ema=args.model_ema,

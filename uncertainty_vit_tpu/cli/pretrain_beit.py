@@ -86,7 +86,8 @@ def main(args):
     if args.auto_resume:
         state, start_epoch = C.auto_load(args.output_dir, state)
 
-    step_fn = make_mim_train_step(model, dvae, dvae_vars, tx, lr_schedule)
+    step_fn = make_mim_train_step(model, dvae, dvae_vars, tx, lr_schedule,
+                                  update_freq=max(1, args.update_freq))
     jsonl = JsonlLogger(args.output_dir)
     grid = cfg.grid_size
 

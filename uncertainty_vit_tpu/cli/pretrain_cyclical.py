@@ -137,6 +137,7 @@ def main(args):
         stochastic=args.stochastic,
         lambda_pretraining=args.lambda_pretraining,
         gp_layer=args.gp_layer,
+        update_freq=max(1, args.update_freq),
     )
     lr_schedule, wd_schedule, total_steps = B.build_lr_schedules(args, steps_per_epoch)
 

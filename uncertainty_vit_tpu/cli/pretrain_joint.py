@@ -103,6 +103,7 @@ def main(args):
         ema_decay_init=args.ema_decay_init,
         ema_start_at=args.ema_start_at,
         vae_loss_weight_anneal_epochs=args.vae_loss_weight,
+        update_freq=max(1, args.update_freq),
     )
 
     start_epoch = 0

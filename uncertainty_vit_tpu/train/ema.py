@@ -21,6 +21,22 @@ def ema_update(ema_params: Any, params: Any, decay) -> Any:
     )
 
 
+def ema_on_update_boundary(update_fn, ema_params: Any, step, update_freq: int) -> Any:
+    """Run `update_fn()` (an EMA update) only on gradient-accumulation
+    boundaries.
+
+    With optax.MultiSteps params are frozen during accumulation mini-steps;
+    decaying the EMA every mini-step would compound to decay^update_freq per
+    real update. The reference updates EMA only when
+    `(data_iter_step + 1) % update_freq == 0` (engine_for_finetuning.py:110-127)
+    — mirrored here with a lax.cond so non-boundary steps skip the update
+    entirely."""
+    if update_freq <= 1:
+        return update_fn()
+    boundary = (step + 1) % update_freq == 0
+    return jax.lax.cond(boundary, update_fn, lambda: ema_params)
+
+
 def cyclical_ema_step(
     ema_params: Any,
     params: Any,

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from uncertainty_vit_tpu.ops import losses as L
-from uncertainty_vit_tpu.train.ema import cyclical_ema_step
+from uncertainty_vit_tpu.train.ema import cyclical_ema_step, ema_on_update_boundary
 from uncertainty_vit_tpu.train.optim import global_norm
 
 
@@ -64,6 +64,9 @@ class CyclicalHParams:
     # SNGP lm_head (--gp_layer, modeling_cyclical.py:133): threads the
     # 'sngp_state'/'sngp_frozen' collections through the student forward.
     gp_layer: bool = False
+    # gradient accumulation (optax.MultiSteps): EMA warmup indexing, the EMA
+    # update cadence, and the reported LR all use update units
+    update_freq: int = 1
 
 
 def _ln(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -219,14 +222,18 @@ def make_cyclical_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        ema_params = cyclical_ema_step(
-            state.ema_params,
-            params,
-            state.step,
-            hp.ema_decay,
-            hp.ema_decay_init,
-            hp.ema_start_at,
-            hp.start_lr_decay_at_step,
+        update_index = state.step // hp.update_freq
+        ema_params = ema_on_update_boundary(
+            lambda: cyclical_ema_step(
+                state.ema_params,
+                params,
+                update_index,
+                hp.ema_decay,
+                hp.ema_decay_init,
+                hp.ema_start_at,
+                hp.start_lr_decay_at_step,
+            ),
+            state.ema_params, state.step, hp.update_freq,
         )
 
         new_state = CyclicalState(
@@ -245,7 +252,8 @@ def make_cyclical_train_step(
             "mask_count": mask.sum() / mask.shape[0],
         }
         if lr_schedule is not None:
-            metrics["lr"] = lr_schedule(state.step)
+            # schedules are built over update units (cli/builders.py)
+            metrics["lr"] = lr_schedule(update_index)
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()

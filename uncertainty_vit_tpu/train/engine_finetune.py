@@ -18,7 +18,7 @@ import optax
 
 from uncertainty_vit_tpu.ops import losses as L
 from uncertainty_vit_tpu.ops.mixup import mixup_cutmix, one_hot_smooth
-from uncertainty_vit_tpu.train.ema import ema_update
+from uncertainty_vit_tpu.train.ema import ema_on_update_boundary, ema_update
 from uncertainty_vit_tpu.train.optim import global_norm
 
 
@@ -52,6 +52,10 @@ class FinetuneHParams:
     model_ema_decay: float = 0.9999
     # head type decides which mutable collections thread through the step
     head_type: str = "linear"
+    # gradient-accumulation factor (optax.MultiSteps): EMA updates and the
+    # reported LR are indexed in *update* units (engine_for_finetuning.py:66,
+    # 110-127), not mini-steps
+    update_freq: int = 1
 
 
 def make_finetune_train_step(
@@ -116,7 +120,10 @@ def make_finetune_train_step(
 
         model_ema = state.model_ema
         if model_ema is not None:
-            model_ema = ema_update(model_ema, params, hp.model_ema_decay)
+            model_ema = ema_on_update_boundary(
+                lambda: ema_update(state.model_ema, params, hp.model_ema_decay),
+                state.model_ema, state.step, hp.update_freq,
+            )
 
         new_state = state.replace(
             params=params,
@@ -135,7 +142,9 @@ def make_finetune_train_step(
             "grad_norm": global_norm(grads),
         }
         if lr_schedule is not None:
-            metrics["lr"] = lr_schedule(state.step)
+            # schedules are built over update units (cli/builders.py
+            # build_lr_schedules); report at the update index, not mini-steps
+            metrics["lr"] = lr_schedule(state.step // hp.update_freq)
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -41,6 +41,8 @@ class DistFinetuneHParams:
     label_smoothing: float = 0.1
     lambda_finetuning: float = 1e-4  # run_class_finetuning.py:240
     lambda_pvn: float = 1e-4  # run_class_finetuning.py:241
+    # gradient accumulation: the reported LR is indexed in update units
+    update_freq: int = 1
 
 
 def make_dist_finetune_train_step(
@@ -112,7 +114,8 @@ def make_dist_finetune_train_step(
             "grad_norm": global_norm(grads),
         }
         if lr_schedule is not None:
-            metrics["lr"] = lr_schedule(state.step)
+            # schedules are built over update units (cli/builders.py)
+            metrics["lr"] = lr_schedule(state.step // hp.update_freq)
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from uncertainty_vit_tpu.ops import losses as L
-from uncertainty_vit_tpu.train.ema import cyclical_ema_step
+from uncertainty_vit_tpu.train.ema import cyclical_ema_step, ema_on_update_boundary
 from uncertainty_vit_tpu.train.engine_cyclical import CyclicalHParams, CyclicalState, build_targets
 from uncertainty_vit_tpu.train.optim import global_norm
 
@@ -35,6 +35,7 @@ def make_mim_train_step(
     dvae_variables: Any,
     tx: optax.GradientTransformation,
     lr_schedule: Optional[Callable] = None,
+    update_freq: int = 1,
 ):
     """Returns jitted (state, images, vae_images, mask, rng) → (state, metrics).
 
@@ -68,7 +69,8 @@ def make_mim_train_step(
         new_state = MIMState(params=params, opt_state=opt_state, step=state.step + 1)
         metrics = {"loss": loss, "mlm_acc": mlm_acc, "grad_norm": global_norm(grads)}
         if lr_schedule is not None:
-            metrics["lr"] = lr_schedule(state.step)
+            # schedules are built over update units (cli/builders.py)
+            metrics["lr"] = lr_schedule(state.step // update_freq)
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
@@ -129,10 +131,14 @@ def make_joint_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
-        ema_params = cyclical_ema_step(
-            state.ema_params, params, state.step,
-            hp.ema_decay, hp.ema_decay_init, hp.ema_start_at,
-            hp.start_lr_decay_at_step,
+        update_index = state.step // hp.update_freq
+        ema_params = ema_on_update_boundary(
+            lambda: cyclical_ema_step(
+                state.ema_params, params, update_index,
+                hp.ema_decay, hp.ema_decay_init, hp.ema_start_at,
+                hp.start_lr_decay_at_step,
+            ),
+            state.ema_params, state.step, hp.update_freq,
         )
         new_state = CyclicalState(
             params=params, opt_state=opt_state, ema_params=ema_params,
@@ -147,7 +153,7 @@ def make_joint_train_step(
             "grad_norm": global_norm(grads),
         }
         if lr_schedule is not None:
-            metrics["lr"] = lr_schedule(state.step)
+            metrics["lr"] = lr_schedule(update_index)
         return new_state, metrics
 
     return jax.jit(step_fn, donate_argnums=(0,))
