@@ -186,8 +186,9 @@ def test_batch_loader_multihost_padding(cifar_root):
 def test_tiny_imagenet_c_wnids_fallbacks(tmp_path):
     """TIN-C distributions don't ship wnids.txt at the corruption root
     (reference hard-codes a sibling dir, tin.py:175-176): the loader must
-    find a sibling clean TinyImageNet wnids.txt or derive ids from the
-    severity directory listing."""
+    find a sibling clean TinyImageNet wnids.txt; with none resolvable it
+    must hard-error (directory-derived ids can silently misalign with the
+    head's class order) pointing at --wnids_path."""
     rs = np.random.RandomState(0)
     wnids = ["n01443537", "n01629819", "n01641577"]
     croot = tmp_path / "tiny-imagenet-c"
@@ -198,10 +199,10 @@ def test_tiny_imagenet_c_wnids_fallbacks(tmp_path):
             arr = rs.randint(0, 255, (64, 64, 3), dtype=np.uint8)
             Image.fromarray(arr).save(d / f"img_{i}.JPEG")
 
-    # no wnids.txt anywhere: derive from the severity dir listing
-    ds = D.TinyImageNetC(str(croot), "gaussian_noise", 1)
-    assert len(ds) == 6
-    assert ds.classes == sorted(wnids)
+    # no wnids.txt anywhere: hard error naming the escape hatch
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError, match="--wnids_path"):
+        D.TinyImageNetC(str(croot), "gaussian_noise", 1)
 
     # sibling clean TinyImageNet dir provides wnids.txt (reverse order file
     # must not change the sorted class ids)
@@ -209,8 +210,9 @@ def test_tiny_imagenet_c_wnids_fallbacks(tmp_path):
     sib.mkdir()
     (sib / "wnids.txt").write_text("\n".join(reversed(wnids)) + "\n")
     ds2 = D.TinyImageNetC(str(croot), "gaussian_noise", 1)
+    assert len(ds2) == 6
     assert ds2.classes == sorted(wnids)
-    np.testing.assert_array_equal(ds.labels, ds2.labels)
+    ds = ds2
 
     # explicit path wins; missing explicit path raises
     ds3 = D.TinyImageNetC(str(croot), "gaussian_noise", 1,

@@ -142,6 +142,40 @@ def test_het_head():
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-3)
 
 
+def test_het_eval_forward_noise_varies_per_batch():
+    """evals.classification.make_eval_forward(het=True) must draw fresh MC
+    noise per batch through the 'mc' rng; without it the head falls back to
+    a fixed PRNGKey(42), correlating the noise draw across every batch."""
+    from uncertainty_vit_tpu.evals.classification import evaluate, make_eval_forward
+
+    cfg = TINY.replace(head_type="het", het_train_mc_samples=20,
+                       het_test_mc_samples=20)
+    model = VisionTransformer(cfg=cfg)
+    x = images()
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "mc": jax.random.PRNGKey(1)}, x
+    )
+    fwd = make_eval_forward(model, het=True)
+    l1 = np.asarray(fwd(variables, x, jax.random.PRNGKey(1)))
+    l2 = np.asarray(fwd(variables, x, jax.random.PRNGKey(2)))
+    l1b = np.asarray(fwd(variables, x, jax.random.PRNGKey(1)))
+    assert not np.allclose(l1, l2)  # different keys → different noise
+    np.testing.assert_array_equal(l1, l1b)  # seeded → reproducible
+
+    # evaluate(het=True) folds per-batch: two identical batches must see
+    # different 'mc' keys (the old fixed-key path gave identical logits)
+    seen = []
+
+    def probe_forward(variables, imgs, rng):
+        seen.append(np.asarray(rng).copy())
+        return fwd(variables, imgs, rng)
+
+    batches = [(x, jnp.zeros((2,), jnp.int32)), (x, jnp.zeros((2,), jnp.int32))]
+    evaluate(model, variables, batches, forward=probe_forward, het=True,
+             rng=jax.random.PRNGKey(5))
+    assert len(seen) == 2 and not np.array_equal(seen[0], seen[1])
+
+
 def test_split_trunk_mc_dropout_exact_when_trunk_dropout_free():
     """With dropout_from_block == s, split-trunk MC-dropout (shared trunk,
     mc_split=s) produces EXACTLY the distribution of full K-sample

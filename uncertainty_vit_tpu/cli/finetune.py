@@ -208,6 +208,18 @@ def _load_ensemble_members(args, variables):
     return members
 
 
+def _default_eval_forward(args, model, variables):
+    """Deterministic jitted forward for the robustness dispatches; with
+    --het_layer each call folds a fresh 'mc' rng so the heteroscedastic
+    head's noise varies per batch (see evals.classification.make_eval_forward)."""
+    if args.het_layer:
+        jfwd = E.make_eval_forward(model, het=True)
+        rng0 = jax.random.PRNGKey(args.seed)
+        counter = iter(range(1 << 30))
+        return lambda imgs: jfwd(variables, imgs, jax.random.fold_in(rng0, next(counter)))
+    return jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
+
+
 def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
     """--eval dispatch (run_class_finetuning.py:638-677)."""
     results = {}
@@ -234,7 +246,7 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
             efwd = make_ensemble_forward(model)
             fwd = lambda imgs: ensemble_mean_logits(efwd(stacked, imgs))
         else:
-            fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
+            fwd = _default_eval_forward(args, model, variables)
 
         croot = args.corruption_data_path or args.data_path
         if args.data_set.startswith("CIFAR"):
@@ -301,7 +313,7 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
             efwd = make_ensemble_forward(model)
             fwd = lambda imgs: ensemble_mean_logits(efwd(stacked, imgs))
         else:
-            fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
+            fwd = _default_eval_forward(args, model, variables)
 
         def video_loader(name):
             vids = D.load_cifar_p(proot, name)
@@ -338,7 +350,8 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
         )
         results["dist_eval"] = {k: float(v) for k, v in out.items()}
     else:
-        results["eval"] = E.evaluate(model, variables, batches())
+        results["eval"] = E.evaluate(model, variables, batches(),
+                                     het=args.het_layer)
     print(json.dumps(results, indent=2, default=float), flush=True)
     return results
 
@@ -448,7 +461,7 @@ def main(args):
             lambda v, imgs: model.apply(v, imgs, deterministic=True)[2]
         )
     else:
-        eval_forward = E.make_eval_forward(model)
+        eval_forward = E.make_eval_forward(model, het=args.het_layer)
 
     for epoch in range(start_epoch, args.epochs):
         train_loader.set_epoch(epoch)
@@ -522,7 +535,8 @@ def main(args):
                 jnp.asarray(np.concatenate(labels_all))).items()}
         else:
             test = E.evaluate(model, eval_vars, _eval_batches(val_loader, args),
-                              forward=eval_forward)
+                              forward=eval_forward, het=args.het_layer,
+                              rng=jax.random.PRNGKey(args.seed + epoch))
         record = {
             "epoch": epoch,
             **{f"train_{k}": v for k, v in logger.epoch_summary().items()},

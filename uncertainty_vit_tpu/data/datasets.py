@@ -356,38 +356,18 @@ class TinyImageNetC(ImageFolder):
             if os.path.exists(cand):
                 with open(cand) as f:
                     return [l.strip() for l in f if l.strip()]
-        # Last resort: the UNION of wnid dirs across every distortion ×
-        # severity under root — a single severity's listing could silently
-        # shift every class id after a missing directory, corrupting all
-        # corruption metrics. The union is at least consistent across the
-        # whole sweep; if it still disagrees with the training head's class
-        # order only a real wnids.txt can fix that, so say so loudly.
-        union = set()
-        for dist in sorted(os.listdir(root)):
-            ddir = os.path.join(root, dist)
-            if not os.path.isdir(ddir):
-                continue
-            for sev in sorted(os.listdir(ddir)):
-                sdir = os.path.join(ddir, sev)
-                if not os.path.isdir(sdir):
-                    continue
-                union.update(
-                    d for d in os.listdir(sdir)
-                    if os.path.isdir(os.path.join(sdir, d))
-                )
-        local = {
-            d for d in os.listdir(severity_dir)
-            if os.path.isdir(os.path.join(severity_dir, d))
-        }
-        if union != local:
-            print(
-                f"WARNING: TinyImageNet-C class ids derived from directory "
-                f"listings ({len(union)} wnids across the sweep, "
-                f"{len(local)} in {severity_dir}); pass --wnids_path to "
-                f"guarantee alignment with the finetuned head's class order",
-                flush=True,
-            )
-        return sorted(union)
+        # No wnids.txt anywhere: refuse to guess. Directory-derived class
+        # ids can silently misalign with the finetuned head's class order
+        # (one missing wnid dir shifts every id after it), producing
+        # plausible-but-wrong corruption numbers. Hard error with the
+        # escape hatch rather than a warning nobody reads.
+        raise FileNotFoundError(
+            "TinyImageNet-C class ids need a wnids.txt to align with the "
+            "finetuned head's class order, but none was found (searched: "
+            + ", ".join(candidates)
+            + "). Pass --wnids_path pointing at the clean TinyImageNet-200 "
+            "wnids.txt (the reference hard-codes that path, tin.py:175-176)."
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -32,10 +32,23 @@ def _collect_logits(
     return np.concatenate(logits_all), np.concatenate(labels_all)
 
 
-def make_eval_forward(model) -> Callable:
-    """Persistent jitted (variables, images) → logits. Build ONCE and reuse
-    across epochs: variables are a traced argument, so per-epoch params never
-    force a retrace (only shape changes do)."""
+def make_eval_forward(model, het: bool = False) -> Callable:
+    """Persistent jitted forward. Build ONCE and reuse across epochs:
+    variables are a traced argument, so per-epoch params never force a
+    retrace (only shape changes do).
+
+    het=False: (variables, images) → logits.
+    het=True:  (variables, images, rng) → logits — the heteroscedastic head
+    draws fresh MC noise per call through the 'mc' rng (the reference
+    resamples noise every forward, modeling_finetune.py:1145-1146). Without
+    it MCSoftmaxDenseFA falls back to a fixed key, correlating the noise
+    draw across every eval batch."""
+    if het:
+        return jax.jit(
+            lambda variables, imgs, rng: model.apply(
+                variables, imgs, deterministic=True, rngs={"mc": rng}
+            )
+        )
     return jax.jit(lambda variables, imgs: model.apply(variables, imgs, deterministic=True))
 
 
@@ -44,13 +57,22 @@ def evaluate(
     variables: Any,
     batches: Iterable,
     forward: Optional[Callable] = None,
+    het: bool = False,
+    rng: Optional[jax.Array] = None,
 ) -> Dict[str, float]:
     """Deterministic eval: acc1/5 + full calibration suite on global logits.
 
-    Pass `forward` (from make_eval_forward) to amortize tracing across
-    epochs; otherwise a fresh jit is built per call."""
-    fwd = forward if forward is not None else make_eval_forward(model)
-    logits, labels = _collect_logits(lambda imgs: fwd(variables, imgs), batches)
+    Pass `forward` (from make_eval_forward, built with the same `het`) to
+    amortize tracing across epochs; otherwise a fresh jit is built per call.
+    het=True folds a fresh 'mc' rng per batch for the heteroscedastic head."""
+    fwd = forward if forward is not None else make_eval_forward(model, het=het)
+    if het:
+        rng0 = jax.random.PRNGKey(0) if rng is None else rng
+        counter = iter(range(1 << 30))
+        call = lambda imgs: fwd(variables, imgs, jax.random.fold_in(rng0, next(counter)))
+    else:
+        call = lambda imgs: fwd(variables, imgs)
+    logits, labels = _collect_logits(call, batches)
     out = M.classification_metrics(jnp.asarray(logits), jnp.asarray(labels))
     out["loss"] = out["nll"]  # CE == NLL for hard labels
     return {k: float(v) for k, v in out.items()}
