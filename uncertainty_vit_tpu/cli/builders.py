@@ -73,6 +73,11 @@ def add_model_args(p: argparse.ArgumentParser):
     g.add_argument("--layernorm_before_combine", action="store_true")
     g.add_argument("--linear_classifier", action="store_true")
     g.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    g.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8 trunk matmuls (qkv/proj/fc1/fc2, fwd+dgrad+"
+                        "wgrad on the MXU's 2x int8 path; ops/quant.py). "
+                        "TPU-native replacement for the reference's "
+                        "DeepSpeed fp16 speed mode")
     return g
 
 
@@ -233,6 +238,7 @@ def model_config_from_args(args, num_classes: int) -> ViTConfig:
         use_abs_pos_emb=args.abs_pos_emb,
         use_rel_pos_bias=args.per_block_rel_pos_bias,
         use_shared_rel_pos_bias=args.rel_pos_bias,
+        quant=getattr(args, "quant", "none"),
         attn_variant=variant,
         head_type=head_type,
         sngp_fc_norm=args.sngp,
@@ -350,6 +356,53 @@ def validate_aug_args(args) -> None:
 
 def compute_dtype(args):
     return jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+
+def build_discrete_vae(args, rng, sample_second):
+    """The reference's `create_d_vae` dispatch (utils.py:548-573):
+    'dall-e' builds the OpenAI tokenizer architecture (models/dalle_vae.py)
+    and fills it from the published encoder.pkl/decoder.pkl found under
+    --discrete_vae_weight_path; 'customized'/'none' build the in-repo
+    DiscreteVAE and restore an Orbax checkpoint (train with
+    cli/train_dvae.py, or import a torch .pth via
+    utils.checkpoint.import_dvae_torch_params). Returns (module, variables).
+    """
+    import os
+
+    from uncertainty_vit_tpu.utils import checkpoint as C
+
+    if args.discrete_vae_type == "dall-e":
+        from uncertainty_vit_tpu.models.dalle_vae import DalleVAE
+
+        dvae = DalleVAE(image_size=args.second_input_size,
+                        vocab_size=args.vocab_size)
+        # init on a single sample: the one-hot decode input is
+        # [1, S/8, S/8, vocab] and param shapes are batch-independent
+        dvae_vars = jax.jit(dvae.init)(rng, sample_second[:1])
+        if args.discrete_vae_weight_path:
+            enc = C.load_dalle_pickle_state_dict(
+                os.path.join(args.discrete_vae_weight_path, "encoder.pkl"))
+            dec = C.load_dalle_pickle_state_dict(
+                os.path.join(args.discrete_vae_weight_path, "decoder.pkl"))
+            params, missing, _ = C.import_dalle_torch_params(
+                dvae_vars["params"], enc, dec)
+            if missing:
+                raise ValueError(
+                    f"dall-e pickles did not cover {len(missing)} params, "
+                    f"e.g. {missing[:3]}")
+            dvae_vars = {"params": params}
+        return dvae, dvae_vars
+
+    from uncertainty_vit_tpu.models.dvae import DiscreteVAE
+
+    dvae = DiscreteVAE(
+        image_size=args.second_input_size, num_tokens=args.vocab_size,
+        num_layers=args.dvae_num_layers, hidden_dim=args.dvae_hidden_dim,
+    )
+    dvae_vars = dvae.init(rng, sample_second)
+    if args.discrete_vae_weight_path:
+        dvae_vars = C.restore_checkpoint(args.discrete_vae_weight_path, dvae_vars)
+    return dvae, dvae_vars
 
 
 def check_finite_or_die(loss_value: float, step) -> None:

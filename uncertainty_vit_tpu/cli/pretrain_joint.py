@@ -16,7 +16,6 @@ from uncertainty_vit_tpu.cli import builders as B
 from uncertainty_vit_tpu.cli.common import setup_jax
 from uncertainty_vit_tpu.data.pipeline import device_prefetch
 from uncertainty_vit_tpu.cli.pretrain_beit import two_view_batch
-from uncertainty_vit_tpu.models.dvae import DiscreteVAE
 from uncertainty_vit_tpu.models.mim import JointViT
 from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask
 from uncertainty_vit_tpu.train.engine_cyclical import CyclicalState
@@ -65,10 +64,6 @@ def main(args):
     steps_per_epoch = args.steps_per_epoch or len(loader)
     cfg = B.model_config_from_args(args, num_classes=0).replace(head_type="none")
     model = JointViT(cfg=cfg, vocab_size=args.vocab_size, dtype=B.compute_dtype(args))
-    dvae = DiscreteVAE(
-        image_size=args.second_input_size, num_tokens=args.vocab_size,
-        num_layers=args.dvae_num_layers, hidden_dim=args.dvae_hidden_dim,
-    )
 
     rng = jax.random.PRNGKey(args.seed)
     sample = jnp.zeros((args.batch_size, args.input_size, args.input_size, 3))
@@ -76,9 +71,9 @@ def main(args):
         (args.batch_size, args.second_input_size, args.second_input_size, 3)
     )
     sample_mask = jnp.zeros((args.batch_size, cfg.num_patches))
-    dvae_vars = dvae.init(jax.random.fold_in(rng, 1), sample_second)
-    if args.discrete_vae_weight_path:
-        dvae_vars = C.restore_checkpoint(args.discrete_vae_weight_path, dvae_vars)
+    dvae, dvae_vars = B.build_discrete_vae(
+        args, jax.random.fold_in(rng, 1), sample_second
+    )
 
     params = model.init(rng, sample, sample_mask)["params"]
     if args.finetune and args.finetune.endswith((".pth", ".pt")):

@@ -19,6 +19,7 @@ import numpy as np
 
 from uncertainty_vit_tpu.core.init import scaled, torch_bias_default, torch_linear_default, trunc_normal
 from uncertainty_vit_tpu.ops import attention as attn_ops
+from uncertainty_vit_tpu.ops import quant as quant_ops
 from uncertainty_vit_tpu.ops import relpos
 from uncertainty_vit_tpu.ops.flash_attention import fused_qkv_attention, kernel_supported
 
@@ -26,15 +27,46 @@ Dtype = Any
 
 
 def drop_path(
-    x: jnp.ndarray, rate: float, rng: Optional[jax.Array], deterministic: bool
+    x: jnp.ndarray, rate: float, rng: Optional[jax.Array], deterministic: bool,
+    seq_len: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Stochastic depth per sample (modeling_finetune.py:51-62 / timm drop_path)."""
+    """Stochastic depth per sample (modeling_finetune.py:51-62 / timm drop_path).
+
+    seq_len: when x is the flattened [B*N, C] token matrix (the 2-D trunk
+    layout of the int8 path), the per-SAMPLE mask of the reference is one
+    bernoulli draw per N consecutive rows."""
     if deterministic or rate == 0.0:
         return x
     keep = 1.0 - rate
-    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
-    mask = jax.random.bernoulli(rng, keep, shape)
+    if x.ndim == 2 and seq_len is not None:
+        b = x.shape[0] // seq_len
+        mask = jax.random.bernoulli(rng, keep, (b, 1))
+        mask = jnp.broadcast_to(mask[:, None], (b, seq_len, 1)).reshape(-1, 1)
+    else:
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+def _use_quant(quant: str, x: jnp.ndarray, features: int) -> bool:
+    """True when the int8 Pallas path should run: flag on, lane-aligned
+    shapes, and a TPU backend (or the interpreter, for CPU tests)."""
+    if quant != "int8":
+        return False
+    m = int(np.prod(x.shape[:-1]))
+    if not quant_ops.supported(m, x.shape[-1], features):
+        return False
+    return jax.default_backend() == "tpu" or quant_ops.INTERPRET
+
+
+def _quant_seed(mod: nn.Module, deterministic: bool) -> jnp.ndarray:
+    """int32 [1] seed for the gradient stochastic rounding. Each call
+    consumes one 'quant' rng fold; eval (no backward) gets a fixed seed."""
+    if not deterministic and mod.has_rng("quant"):
+        return jax.random.randint(
+            mod.make_rng("quant"), (1,), 0, 2**31 - 1, jnp.int32
+        )
+    return jnp.zeros((1,), jnp.int32)
 
 
 class _PatchProj(nn.Module):
@@ -105,14 +137,22 @@ class _ScaledOutDense(nn.Module):
     features: int
     kernel_init: Any
     dtype: Dtype
+    quant: str = "none"
 
     @nn.compact
-    def __call__(self, x, scale=None):
+    def __call__(self, x, scale=None, deterministic: bool = True):
         kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         if scale is not None:
             kernel = kernel * scale[None, :]
             bias = bias * scale
+        if _use_quant(self.quant, x, self.features):
+            # int8 fwd/dgrad/wgrad from the f32 master weights; the fold
+            # above quantizes the already-scaled kernel (exact w.r.t. the
+            # bf16 fold since both are diagonal rescalings pre-quantization)
+            return quant_ops.int8_dense(
+                x, kernel, bias, _quant_seed(self, deterministic)
+            )
         return x @ kernel.astype(self.dtype) + bias.astype(self.dtype)
 
 
@@ -126,6 +166,7 @@ class Mlp(nn.Module):
     layer_id: int = 0  # 1-based; 0 disables the fix_init rescale
     init_std: float = 0.02
     init_trunc_abs: float = 2.0
+    quant: str = "none"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -133,10 +174,12 @@ class Mlp(nn.Module):
         self, x: jnp.ndarray, deterministic: bool = True, out_scale=None
     ) -> jnp.ndarray:
         tn = trunc_normal(self.init_std, self.init_trunc_abs)
-        x = nn.Dense(
-            self.hidden_dim, kernel_init=tn, bias_init=nn.initializers.zeros,
-            dtype=self.dtype, name="fc1",
-        )(x)
+        # same param tree as nn.Dense (kernel/bias under "fc1"); the wrapper
+        # adds the optional int8 path
+        x = _ScaledOutDense(
+            features=self.hidden_dim, kernel_init=tn, dtype=self.dtype,
+            quant=self.quant, name="fc1",
+        )(x, None, deterministic)
         # torch nn.GELU is exact erf; under bfloat16 compute the tanh form is
         # numerically indistinguishable (max diff ~3e-4 < the bf16 quantum)
         # and ~9 ms/fwd cheaper on v5e at ViT-B/224 batch 128, so it is
@@ -145,8 +188,8 @@ class Mlp(nn.Module):
         fc2_init = tn if self.layer_id == 0 else scaled(tn, 1.0 / np.sqrt(2.0 * self.layer_id))
         x = _ScaledOutDense(
             features=self.out_dim, kernel_init=fc2_init, dtype=self.dtype,
-            name="fc2",
-        )(x, out_scale)
+            quant=self.quant, name="fc2",
+        )(x, out_scale, deterministic)
         x = nn.Dropout(self.drop, deterministic=deterministic)(x)
         return x
 
@@ -199,6 +242,12 @@ class Attention(nn.Module):
     init_std: float = 0.02
     init_trunc_abs: float = 2.0
     use_flash: bool = True
+    quant: str = "none"
+    # static token count when called with the flattened 2-D [B*N, C] trunk
+    # layout (int8 path: XLA relayout-copies every [B, N, C] fusion output
+    # feeding a Pallas call ~0.4 ms each; 2-D activations keep the standard
+    # layout end-to-end — tools/probe_quant_layout.py)
+    seq_len: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -209,25 +258,38 @@ class Attention(nn.Module):
         deterministic: bool = True,
         out_scale=None,
     ) -> jnp.ndarray:
-        b, n, c = x.shape
+        flat = x.ndim == 2
+        if flat:
+            n = self.seq_len
+            b, c = x.shape[0] // n, x.shape[1]
+        else:
+            b, n, c = x.shape
         head_dim = self.attn_head_dim or self.dim // self.num_heads
         all_head_dim = head_dim * self.num_heads
         scale = self.qk_scale or head_dim**-0.5
         tn = trunc_normal(self.init_std, self.init_trunc_abs)
 
         qkv_kernel = self.param("qkv_kernel", tn, (c, all_head_dim * 3))
-        qkv = x @ qkv_kernel.astype(self.dtype)
+        qkv_bias_vec = None
         if self.qkv_bias:
             q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
             v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
             # q|zeros|v rows — the structurally-zero key bias
-            # (modeling_finetune.py:146-151). Added HERE, not in-kernel: XLA
-            # fuses this add into the qkv matmul epilogue for free, while the
-            # kernel's VMEM-slab add measured ~1 ms/step of extra VPU work
-            # (the kernel still accepts a packed [3, C] qv_bias for callers
-            # without a preceding matmul to fuse into).
-            bias = jnp.concatenate([q_bias, jnp.zeros_like(v_bias), v_bias])
-            qkv = qkv + bias.astype(self.dtype)
+            # (modeling_finetune.py:146-151). Added in the matmul epilogue
+            # (XLA fuses it for free; the int8 kernel adds it in its own
+            # epilogue), NOT inside the attention kernel: the VMEM-slab add
+            # measured ~1 ms/step of extra VPU work (the kernel still
+            # accepts a packed [3, C] qv_bias for callers without a
+            # preceding matmul to fuse into).
+            qkv_bias_vec = jnp.concatenate([q_bias, jnp.zeros_like(v_bias), v_bias])
+        if _use_quant(self.quant, x, all_head_dim * 3):
+            qkv = quant_ops.int8_dense(
+                x, qkv_kernel, qkv_bias_vec, _quant_seed(self, deterministic)
+            )
+        else:
+            qkv = x @ qkv_kernel.astype(self.dtype)
+            if qkv_bias_vec is not None:
+                qkv = qkv + qkv_bias_vec.astype(self.dtype)
 
         bias_bhnn = None
         if self.window_size is not None:
@@ -260,9 +322,14 @@ class Attention(nn.Module):
                 )
             else:
                 seed = jnp.zeros((1,), jnp.int32)
+            # reshape 2-D [B*N, 3C] → [B, N, 3C] is a layout-preserving
+            # bitcast; the kernel's in/out live in the standard layout
             out = fused_qkv_attention(
-                qkv, bias_bhnn, None, seed, scale, self.num_heads, drop_rate
+                qkv.reshape(b, n, -1), bias_bhnn, None, seed, scale,
+                self.num_heads, drop_rate,
             )
+            if flat:
+                out = out.reshape(b * n, -1)
         else:
             qkv_r = qkv.reshape(b, n, 3, self.num_heads, head_dim)
             q, k, v = [jnp.moveaxis(qkv_r[:, :, i], 1, 2) for i in range(3)]
@@ -282,12 +349,14 @@ class Attention(nn.Module):
                 sinkformer_eps=self.sinkformer_eps,
                 sinkformer_iters=self.sinkformer_iters,
             )
-            out = jnp.moveaxis(out, 1, 2).reshape(b, n, all_head_dim)
+            out = jnp.moveaxis(out, 1, 2).reshape(
+                (b * n, all_head_dim) if flat else (b, n, all_head_dim)
+            )
         proj_init = tn if self.layer_id == 0 else scaled(tn, 1.0 / np.sqrt(2.0 * self.layer_id))
         out = _ScaledOutDense(
             features=self.dim, kernel_init=proj_init, dtype=self.dtype,
-            name="proj",
-        )(out, out_scale)
+            quant=self.quant, name="proj",
+        )(out, out_scale, deterministic)
         out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
         return out
 
@@ -384,6 +453,9 @@ class Block(nn.Module):
     init_trunc_abs: float = 2.0
     layer_norm_eps: float = 1e-6
     use_flash: bool = True
+    quant: str = "none"
+    # token count for the flattened 2-D trunk layout (see Attention.seq_len)
+    seq_len: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -402,6 +474,12 @@ class Block(nn.Module):
                 init_std=self.init_std, init_trunc_abs=self.init_trunc_abs,
                 dtype=self.dtype, name="attn",
             )
+            if x.ndim == 2:
+                # DualSto is 3-D only; bridge from the flattened trunk layout
+                base_attn, n = attn, self.seq_len
+                attn = lambda h, rpb, det: base_attn(
+                    h.reshape(-1, n, h.shape[-1]), rpb, det
+                ).reshape(h.shape)
         else:
             attn = Attention(
                 dim=self.dim, num_heads=self.num_heads, qkv_bias=self.qkv_bias,
@@ -412,12 +490,14 @@ class Block(nn.Module):
                 sinkformer_iters=self.sinkformer_iters,
                 layer_id=self.layer_id, init_std=self.init_std,
                 init_trunc_abs=self.init_trunc_abs, use_flash=self.use_flash,
-                dtype=self.dtype, name="attn",
+                quant=self.quant, seq_len=self.seq_len, dtype=self.dtype,
+                name="attn",
             )
         mlp = Mlp(
             hidden_dim=int(self.dim * self.mlp_ratio), out_dim=self.dim,
             drop=self.drop, layer_id=self.layer_id, init_std=self.init_std,
-            init_trunc_abs=self.init_trunc_abs, dtype=self.dtype, name="mlp",
+            init_trunc_abs=self.init_trunc_abs, quant=self.quant,
+            dtype=self.dtype, name="mlp",
         )
 
         def dp(h):
@@ -426,7 +506,8 @@ class Block(nn.Module):
                 if (not deterministic and self.drop_path_rate > 0.0)
                 else None
             )
-            return drop_path(h, self.drop_path_rate, rng, deterministic)
+            return drop_path(h, self.drop_path_rate, rng, deterministic,
+                             seq_len=self.seq_len)
 
         if self.init_values is not None and self.init_values > 0:
             gamma_1 = self.param(

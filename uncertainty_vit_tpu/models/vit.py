@@ -96,9 +96,20 @@ class ViTBackbone(nn.Module):
         dpr = np.linspace(0, cfg.drop_path_rate, cfg.depth)
         layer_xs: List[jnp.ndarray] = []
         fc_features: List[jnp.ndarray] = []
+        # int8 path: run the trunk on flattened [B*N, C] activations. XLA
+        # assigns [B, N, C] elementwise fusions a batch-minor layout that
+        # every Pallas boundary must relayout-copy (~0.4 ms each at ViT-B
+        # batch 128); 2-D activations stay in the standard layout end to end
+        # (tools/probe_quant_layout.py). Reshapes to/from the attention
+        # kernel's [B, N, 3C] are layout-preserving bitcasts.
+        flat = cfg.quant != "none"
+        seq = x.shape[1]
+        unflat = (lambda t: t.reshape(-1, seq, c)) if flat else (lambda t: t)
+        if flat:
+            x = x.reshape(-1, c)
         for i in range(cfg.depth):
             if mc_samples > 0 and i == mc_split:
-                x = jnp.tile(x, (mc_samples, 1, 1))
+                x = jnp.tile(x, (mc_samples, 1) if flat else (mc_samples, 1, 1))
             block_deterministic = deterministic if mc_samples == 0 else (i < mc_split)
             x, fc = Block(
                 dim=cfg.embed_dim,
@@ -120,12 +131,15 @@ class ViTBackbone(nn.Module):
                 init_trunc_abs=cfg.init_trunc_abs,
                 layer_norm_eps=cfg.layer_norm_eps,
                 use_flash=cfg.use_flash_attention,
+                quant=cfg.quant,
+                seq_len=seq if flat else None,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, rel_pos_bias, block_deterministic)
-            layer_xs.append(x)
-            fc_features.append(fc)
+            layer_xs.append(unflat(x))
+            fc_features.append(unflat(fc))
 
+        x = unflat(x)
         if mc_samples > 0 and mc_split >= cfg.depth:
             x = jnp.tile(x, (mc_samples, 1, 1))
         return x, layer_xs, fc_features

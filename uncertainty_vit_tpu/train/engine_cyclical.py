@@ -135,7 +135,9 @@ def make_cyclical_train_step(
     """
 
     def step_fn(state: CyclicalState, images, bool_masked_pos, rng):
-        r_mask, r_drop, r_path = jax.random.split(jax.random.fold_in(rng, state.step), 3)
+        r_mask, r_drop, r_path, r_quant = jax.random.split(
+            jax.random.fold_in(rng, state.step), 4
+        )
 
         mask = bool_masked_pos.astype(jnp.float32)
         if hp.mask_dropout_prob > 0:
@@ -181,7 +183,7 @@ def make_cyclical_train_step(
                 images,
                 mask,
                 deterministic=False,
-                rngs={"dropout": r_drop, "droppath": r_path},
+                rngs={"dropout": r_drop, "droppath": r_path, "quant": r_quant},
                 mutable=mutable if mutable else False,
                 **extra,
             )

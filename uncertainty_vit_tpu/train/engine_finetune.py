@@ -69,7 +69,7 @@ def make_finetune_train_step(
 
     def step_fn(state: FinetuneState, images, labels, rng):
         rng = jax.random.fold_in(rng, state.step)
-        r_mix, r_mask, r_drop, r_path, r_mc = jax.random.split(rng, 5)
+        r_mix, r_mask, r_drop, r_path, r_mc, r_quant = jax.random.split(rng, 6)
 
         if hp.mixup_active:
             images, targets = mixup_cutmix(
@@ -99,7 +99,7 @@ def make_finetune_train_step(
                     mutable = ["sngp_state", "spectral_stats"]
                 else:
                     mutable = ["sngp_state"]
-            rngs = {"dropout": r_drop, "droppath": r_path}
+            rngs = {"dropout": r_drop, "droppath": r_path, "quant": r_quant}
             if hp.head_type == "het":
                 rngs["mc"] = r_mc
             out = model.apply(

@@ -45,7 +45,7 @@ def make_mim_train_step(
 
     def step_fn(state: MIMState, images, vae_images, bool_masked_pos, rng):
         rng = jax.random.fold_in(rng, state.step)
-        r_drop, r_path = jax.random.split(rng)
+        r_drop, r_path, r_quant = jax.random.split(rng, 3)
         mask = bool_masked_pos.astype(jnp.float32)
 
         # tokenize with the frozen dVAE (engine_for_pretraining.py:50-53)
@@ -57,7 +57,7 @@ def make_mim_train_step(
         def loss_fn(params):
             logits = model.apply(
                 {"params": params}, images, mask, deterministic=False,
-                rngs={"dropout": r_drop, "droppath": r_path},
+                rngs={"dropout": r_drop, "droppath": r_path, "quant": r_quant},
             )
             loss, acc = L.masked_mim_cross_entropy(logits, token_ids, mask)
             return loss, acc
@@ -97,7 +97,7 @@ def make_joint_train_step(
 
     def step_fn(state: CyclicalState, images, vae_images, bool_masked_pos, epoch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        r_drop, r_path = jax.random.split(rng)
+        r_drop, r_path, r_quant = jax.random.split(rng, 3)
         mask = bool_masked_pos.astype(jnp.float32)
 
         token_ids = jax.lax.stop_gradient(
@@ -116,7 +116,7 @@ def make_joint_train_step(
         def loss_fn(params):
             lm_out, beit_out = model.apply(
                 {"params": params}, images, mask, deterministic=False,
-                rngs={"dropout": r_drop, "droppath": r_path},
+                rngs={"dropout": r_drop, "droppath": r_path, "quant": r_quant},
             )
             loss_cyc = L.masked_regression_loss(
                 lm_out.astype(jnp.float32), targets, mask, beta=hp.l1_beta, l2=hp.l2_loss

@@ -379,6 +379,118 @@ def import_dvae_torch_params(
     return params, missing, unused
 
 
+def _dalle_torch_key_for(path: Tuple[str, ...]) -> Optional[str]:
+    """Map DalleEncoder/DalleDecoder param paths → OpenAI dall_e state_dict
+    keys (the pickled modules' named-Sequential layout; reference load path
+    modeling_discrete_vae.py:203-225). dall_e's custom Conv2d stores its
+    parameters as `w` (OIHW) / `b`."""
+    suffix = "w" if path[-1] == "kernel" else "b"
+    mod = path[0]
+    if mod == "input_conv":
+        return f"blocks.input.{suffix}"
+    if mod == "output_conv":
+        return f"blocks.output.conv.{suffix}"
+    m = re.fullmatch(r"group_(\d+)_block_(\d+)", mod)
+    if m:
+        inner = {"id_conv": "id_path"}.get(path[1], f"res_path.{path[1]}")
+        return f"blocks.group_{m.group(1)}.block_{m.group(2)}.{inner}.{suffix}"
+    return None
+
+
+def import_dalle_torch_params(
+    params_template: Any,
+    encoder_sd: Optional[Dict[str, np.ndarray]] = None,
+    decoder_sd: Optional[Dict[str, np.ndarray]] = None,
+) -> Tuple[Any, List[str], List[str]]:
+    """Fill a DalleVAE (or bare DalleEncoder/DalleDecoder) param tree from the
+    OpenAI encoder.pkl / decoder.pkl state dicts. A DalleVAE template has
+    top-level 'encoder'/'decoder' subtrees routed to the matching state dict;
+    a bare module template uses whichever dict is given.
+    Returns (params, missing_paths, unused_keys)."""
+    flat = jax.tree_util.tree_flatten_with_path(params_template)[0]
+    treedef = jax.tree_util.tree_structure(params_template)
+    out_leaves, missing = [], []
+    used = {"encoder": set(), "decoder": set()}
+
+    for path, leaf in flat:
+        keypath = tuple(str(getattr(p, "key", p)) for p in path)
+        side = None
+        rel = keypath
+        if keypath[0] in ("encoder", "decoder"):
+            side, rel = keypath[0], keypath[1:]
+        if side == "encoder":
+            sd = encoder_sd
+        elif side == "decoder":
+            sd = decoder_sd
+        else:  # bare DalleEncoder/DalleDecoder template
+            sd = encoder_sd if encoder_sd is not None else decoder_sd
+        tkey = _dalle_torch_key_for(rel)
+        value = None
+        if tkey is not None and sd is not None and tkey in sd:
+            v = np.asarray(sd[tkey])
+            if rel[-1] == "kernel":
+                v = v.transpose(2, 3, 1, 0)  # OIHW → HWIO
+            if v.shape == leaf.shape:
+                value = v
+                used[side or ("encoder" if sd is encoder_sd else "decoder")].add(tkey)
+        if value is None:
+            missing.append("/".join(keypath))
+            out_leaves.append(leaf)
+        else:
+            out_leaves.append(jnp.asarray(value.copy(), dtype=leaf.dtype))
+
+    params = jax.tree_util.tree_unflatten(treedef, out_leaves)
+    unused = [
+        f"{side}:{k}"
+        for side, sd in (("encoder", encoder_sd), ("decoder", decoder_sd))
+        if sd is not None
+        for k in sd
+        if k not in used[side]
+    ]
+    return params, missing, unused
+
+
+def load_dalle_pickle_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """torch.load an OpenAI dall_e encoder.pkl/decoder.pkl WITHOUT the
+    dall_e package: the pickle references classes by module path only, so
+    registering minimal nn.Module stand-ins under sys.modules lets pickle
+    rebuild the object graph, after which state_dict() has everything."""
+    import sys
+    import types
+
+    import torch
+    import torch.nn as tnn
+
+    def _stub(name):
+        return type(name, (tnn.Module,), {})
+
+    mods = {}
+    for modname, classes in (
+        ("dall_e", ()),
+        ("dall_e.utils", ("Conv2d",)),
+        ("dall_e.encoder", ("Encoder", "EncoderBlock")),
+        ("dall_e.decoder", ("Decoder", "DecoderBlock")),
+    ):
+        m = sys.modules.get(modname) or types.ModuleType(modname)
+        for c in classes:
+            if not hasattr(m, c):
+                setattr(m, c, _stub(c))
+        mods[modname] = m
+    saved = {k: sys.modules.get(k) for k in mods}
+    sys.modules.update(mods)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+    sd = obj.state_dict() if hasattr(obj, "state_dict") else obj
+    return {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+            for k, v in sd.items()}
+
+
 def export_torch_state_dict(params: Any) -> Dict[str, np.ndarray]:
     """Inverse mapping: our param tree → reference-layout numpy state_dict
     (for round-trip tests and interop)."""
