@@ -237,3 +237,105 @@ def test_compat_wrapper_layout():
     out = FA.flash_attention(q, k, v, None, SCALE)
     ref = naive_attention(q, k, v, SCALE, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# cross attention (separate q / packed kv) + sequence-parallel wrapper
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_cross_attention_matches_fused(with_bias):
+    """cross_qkv_attention(q, kv) == fused attention of the packed tensor
+    (the Nq == Nk degenerate case), including q/v bias."""
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    bias = (
+        jax.random.normal(jax.random.PRNGKey(1), (H, N, N)) * 0.1
+        if with_bias else None
+    )
+    out = FA.cross_qkv_attention(
+        qkv[..., :C], qkv[..., C:], bias, None, SCALE, H, 0.0
+    )
+    ref = naive_flat(qkv, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_cross_attention_backward_matches_naive():
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    bias = jax.random.normal(jax.random.PRNGKey(1), (H, N, N)) * 0.1
+    q_b = jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.3
+    v_b = jax.random.normal(jax.random.PRNGKey(3), (C,)) * 0.3
+    qvb = jnp.stack([q_b, jnp.zeros_like(q_b), v_b], axis=0)
+
+    g_c = jax.grad(
+        lambda q, kv, b, qb: jnp.sum(
+            FA.cross_qkv_attention(q, kv, b, qb, SCALE, H, 0.0) ** 2
+        ),
+        argnums=(0, 1, 2, 3),
+    )(qkv[..., :C], qkv[..., C:], bias, qvb)
+    g_r = jax.grad(
+        lambda q, b, qb: jnp.sum(naive_flat(q + qb.reshape(-1), b) ** 2),
+        argnums=(0, 1, 2),
+    )(qkv, bias, qvb)
+    np.testing.assert_allclose(np.asarray(g_c[0]), np.asarray(g_r[0][..., :C]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_c[1]), np.asarray(g_r[0][..., C:]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_c[2]), np.asarray(g_r[1]),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_c[3]), np.asarray(g_r[2]),
+                               rtol=1e-3, atol=1e-4)
+
+
+def _seq_mesh():
+    from uncertainty_vit_tpu.parallel import mesh as pmesh
+
+    return pmesh.create_mesh(8, model_parallel=2, seq_parallel=2)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_seq_sharded_attention_matches_unsharded(with_bias):
+    """Token(seq)-sharded attention over a data x seq x model CPU mesh ==
+    the unsharded fused kernel: the k/v all-gather + local cross kernel
+    decomposition is exact."""
+    n = 16  # divisible by the seq axis (2)
+    mesh = _seq_mesh()
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (4, n, 3 * C))
+    bias = (
+        jax.random.normal(jax.random.PRNGKey(1), (H, n, n)) * 0.1
+        if with_bias else None
+    )
+    out = FA.seq_sharded_qkv_attention(qkv, bias, None, SCALE, H, mesh)
+    seed = jnp.zeros((1,), jnp.int32)
+    ref = FA.fused_qkv_attention(qkv, bias, None, seed, SCALE, H, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_seq_sharded_attention_grads_match_unsharded():
+    """Backward through shard_map: dkv rides the all-gather transpose
+    (reduce-scatter); dbias sums across the data axis."""
+    n = 16
+    mesh = _seq_mesh()
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (4, n, 3 * C))
+    bias = jax.random.normal(jax.random.PRNGKey(1), (H, n, n)) * 0.1
+    q_b = jax.random.normal(jax.random.PRNGKey(2), (C,)) * 0.3
+    v_b = jax.random.normal(jax.random.PRNGKey(3), (C,)) * 0.3
+    qvb = jnp.stack([q_b, jnp.zeros_like(q_b), v_b], axis=0)
+    seed = jnp.zeros((1,), jnp.int32)
+
+    g_s = jax.grad(
+        lambda q, b, qb: jnp.sum(
+            FA.seq_sharded_qkv_attention(q, b, qb, SCALE, H, mesh) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(qkv, bias, qvb)
+    g_r = jax.grad(
+        lambda q, b, qb: jnp.sum(
+            FA.fused_qkv_attention(q, b, qb, seed, SCALE, H, 0.0) ** 2
+        ),
+        argnums=(0, 1, 2),
+    )(qkv, bias, qvb)
+    for a, b_ in zip(g_s, g_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4
+        )

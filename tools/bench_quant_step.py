@@ -32,6 +32,13 @@ from uncertainty_vit_tpu.train.optim import make_optimizer
 def main(quant="int8", batch=128):
     from uncertainty_vit_tpu.ops import quant as Q
     mode = quant
+    if quant.endswith("-noseed"):
+        # ablation: constant SR seeds — measures the 48-module
+        # make_rng('quant') fold/threefry cost in the step
+        import uncertainty_vit_tpu.models.layers as L
+
+        L._quant_seed = lambda mod, det: jnp.zeros((1,), jnp.int32)
+        quant = quant[: -len("-noseed")]
     impls = {
         "int8": ("pallas", "pallas", "pallas"),
         "int8-fwd": ("pallas", "bf16", "bf16"),
@@ -74,4 +81,5 @@ def main(quant="int8", batch=128):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "int8")
+    main(sys.argv[1] if len(sys.argv) > 1 else "int8",
+         batch=int(sys.argv[2]) if len(sys.argv) > 2 else 128)

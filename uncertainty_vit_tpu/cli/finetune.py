@@ -47,6 +47,11 @@ def get_args_parser():
     B.add_io_args(p)
     g = p.add_argument_group("finetune")
     g.add_argument("--nb_classes", type=int, default=0, help="0 = infer from dataset")
+    g.add_argument("--seq_parallel", type=int, default=1,
+                   help="context-parallel factor: shard token activations "
+                        "over a 'seq' mesh axis (384/512 scaling, SURVEY "
+                        "§5.7); requires attn_drop=0 and devices divisible "
+                        "by the factor")
     g.add_argument("--mixup", type=float, default=0.8)
     g.add_argument("--cutmix", type=float, default=1.0)
     g.add_argument("--mixup_prob", type=float, default=1.0)
@@ -120,9 +125,19 @@ def build_model(args, nb_classes):
     if getattr(args, "remove_final_norm", False):
         cfg = cfg.replace(remove_final_norm=True)
     dtype = B.compute_dtype(args)
+    seq_mesh = None
+    if getattr(args, "seq_parallel", 1) > 1:
+        # context parallelism for 384/512 inputs (SURVEY §5.7): token
+        # activations shard over the 'seq' mesh axis; the attention kernel
+        # partitions via its shard_map wrapper (ops/flash_attention.py)
+        from uncertainty_vit_tpu.parallel import mesh as pmesh
+
+        seq_mesh = pmesh.create_mesh(seq_parallel=args.seq_parallel)
     if args.stochastic:
+        if seq_mesh is not None:
+            raise ValueError("--seq_parallel is not wired for --stochastic")
         return DistVisionTransformer(cfg=cfg, dtype=dtype), cfg
-    return VisionTransformer(cfg=cfg, dtype=dtype), cfg
+    return VisionTransformer(cfg=cfg, seq_mesh=seq_mesh, dtype=dtype), cfg
 
 
 def _eval_batches(loader, args):

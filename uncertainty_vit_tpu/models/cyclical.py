@@ -39,6 +39,8 @@ class CyclicalViT(nn.Module):
     cfg: ViTConfig
     gp_layer: bool = False
     init_std: float = 0.02
+    # sequence-parallel mesh (see ViTBackbone.seq_mesh)
+    seq_mesh: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -62,6 +64,7 @@ class CyclicalViT(nn.Module):
             has_mask_token=True,
             mask_only_when_training=False,
             patch_embed_init=("trunc", self.init_std),
+            seq_mesh=self.seq_mesh,
             dtype=self.dtype,
             name="backbone",
         )(images, bool_masked_pos, deterministic)

@@ -248,6 +248,10 @@ class Attention(nn.Module):
     # feeding a Pallas call ~0.4 ms each; 2-D activations keep the standard
     # layout end-to-end — tools/probe_quant_layout.py)
     seq_len: Optional[int] = None
+    # sequence-parallel mesh (data × seq × …): when set, the kernel path
+    # runs token-sharded via shard_map + k/v all-gather over 'seq'
+    # (ops/flash_attention.seq_sharded_qkv_attention, SURVEY §5.7)
+    seq_mesh: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -305,11 +309,13 @@ class Attention(nn.Module):
         if rel_pos_bias is not None:
             bias_bhnn = rel_pos_bias if bias_bhnn is None else bias_bhnn + rel_pos_bias
 
+        from uncertainty_vit_tpu.ops import flash_attention as _fa
+
         use_kernel = (
             self.use_flash
             and self.variant == "softmax"
             and kernel_supported(self.num_heads, head_dim, n)
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or _fa.INTERPRET)
         )
         if use_kernel:
             # Fused path: per-head slicing happens inside the kernel, so the
@@ -324,10 +330,26 @@ class Attention(nn.Module):
                 seed = jnp.zeros((1,), jnp.int32)
             # reshape 2-D [B*N, 3C] → [B, N, 3C] is a layout-preserving
             # bitcast; the kernel's in/out live in the standard layout
-            out = fused_qkv_attention(
-                qkv.reshape(b, n, -1), bias_bhnn, None, seed, scale,
-                self.num_heads, drop_rate,
-            )
+            if self.seq_mesh is not None:
+                if drop_rate > 0.0:
+                    raise ValueError(
+                        "sequence-parallel attention requires attn_drop=0 "
+                        "(in-kernel dropout seeds are not defined across "
+                        "re-sharded grids)"
+                    )
+                from uncertainty_vit_tpu.ops.flash_attention import (
+                    seq_sharded_qkv_attention,
+                )
+
+                out = seq_sharded_qkv_attention(
+                    qkv.reshape(b, n, -1), bias_bhnn, None, scale,
+                    self.num_heads, self.seq_mesh,
+                )
+            else:
+                out = fused_qkv_attention(
+                    qkv.reshape(b, n, -1), bias_bhnn, None, seed, scale,
+                    self.num_heads, drop_rate,
+                )
             if flat:
                 out = out.reshape(b * n, -1)
         else:
@@ -456,6 +478,8 @@ class Block(nn.Module):
     quant: str = "none"
     # token count for the flattened 2-D trunk layout (see Attention.seq_len)
     seq_len: Optional[int] = None
+    # sequence-parallel mesh (see Attention.seq_mesh)
+    seq_mesh: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -490,7 +514,8 @@ class Block(nn.Module):
                 sinkformer_iters=self.sinkformer_iters,
                 layer_id=self.layer_id, init_std=self.init_std,
                 init_trunc_abs=self.init_trunc_abs, use_flash=self.use_flash,
-                quant=self.quant, seq_len=self.seq_len, dtype=self.dtype,
+                quant=self.quant, seq_len=self.seq_len,
+                seq_mesh=self.seq_mesh, dtype=self.dtype,
                 name="attn",
             )
         mlp = Mlp(

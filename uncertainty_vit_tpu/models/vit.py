@@ -38,6 +38,10 @@ class ViTBackbone(nn.Module):
     # (modeling_cyclical.py:179-182).
     mask_only_when_training: bool = True
     patch_embed_init: Any = "torch"
+    # sequence-parallel mesh (data × seq × …): token activations get a
+    # with_sharding_constraint over ('data', 'seq') and the attention kernel
+    # runs token-sharded via shard_map (SURVEY §5.7; parallel/mesh.py)
+    seq_mesh: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -66,6 +70,21 @@ class ViTBackbone(nn.Module):
             name="patch_embed",
         )(images.astype(self.dtype))
         b, n, c = x.shape
+        if self.seq_mesh is not None:
+            # anchor the token sharding on the PATCH tokens (the grid² count
+            # divides the seq axis; the +1 cls total would not). GSPMD
+            # propagates it through the cls concat and the block stack —
+            # explicit constraints require divisibility, propagated
+            # shardings do not. The attention kernel re-shards at its
+            # shard_map boundary with its own pad (flash_attention.py).
+            from jax.sharding import NamedSharding
+
+            from uncertainty_vit_tpu.parallel import mesh as pmesh
+
+            if n % self.seq_mesh.shape[pmesh.SEQ_AXIS] == 0:
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.seq_mesh, pmesh.token_spec())
+                )
 
         cls_token = self.param("cls_token", tn, (1, 1, cfg.embed_dim))
 
@@ -133,6 +152,7 @@ class ViTBackbone(nn.Module):
                 use_flash=cfg.use_flash_attention,
                 quant=cfg.quant,
                 seq_len=seq if flat else None,
+                seq_mesh=self.seq_mesh,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, rel_pos_bias, block_deterministic)
@@ -154,6 +174,8 @@ class VisionTransformer(nn.Module):
     """
 
     cfg: ViTConfig
+    # sequence-parallel mesh (see ViTBackbone.seq_mesh)
+    seq_mesh: Any = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -175,6 +197,7 @@ class VisionTransformer(nn.Module):
             has_mask_token=cfg.has_masking,
             mask_only_when_training=True,
             patch_embed_init="torch",
+            seq_mesh=self.seq_mesh,
             dtype=self.dtype,
             name="backbone",
         )(images, bool_masked_pos, deterministic,

@@ -900,6 +900,322 @@ def _stream_bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads,
     return dqkv, dbias, dqvb
 
 
+# ---------------------------------------------------------------------------
+# Cross attention (separate q / packed kv) + the sequence-parallel wrapper
+# ---------------------------------------------------------------------------
+#
+# The streaming kernels above already read q, k and v through SEPARATE refs;
+# packing was only ever a property of the call-level BlockSpecs. These impls
+# point the same kernels at two arrays — q [B, Nq, C] and kv [B, Nk, 2C] —
+# which is exactly the local view of token(seq)-sharded attention after the
+# k/v all-gather: q rows stay sharded over the 'seq' mesh axis, keys/values
+# are gathered (the standard sequence-parallel attention decomposition; the
+# gather rides ICI). seq_sharded_qkv_attention wraps this in a shard_map.
+
+
+def _cross_plan(head_dim: int, num_heads: int, nq: int, nk: int):
+    """(head_group, q_tile) for the cross kernels (see _stream_plan)."""
+    for cap in _STREAM_CAPS:
+        tq = _q_tile(nq, cap)
+        for g in _group_candidates(num_heads, head_dim):
+            lanes = g * head_dim
+            kv_resident = 2 * 2 * nk * lanes * 2
+            tiles = 3 * tq * nk * 4
+            bias_blocks = 2 * 2 * g * tq * nk * 4
+            small = 4 * 2 * tq * lanes * 4
+            if kv_resident + tiles + bias_blocks + small <= 13 * 1024 * 1024:
+                return g, tq
+    return None
+
+
+def _cross_specs(nq, nk, tq, lanes, group, num_groups, has_bias, has_qvb,
+                 order):
+    """in_specs (after the seed) for the cross kernels: q tiles come from the
+    [B, Nq, C] array, k/v slabs from the [B, Nk, 2C] array (k at group
+    offset 0, v at offset num_groups)."""
+    names = order.split()
+
+    def pick(*vals):
+        by = dict(zip(names, range(len(names))))
+        def f(key, default=0):
+            return vals[by[key]] if key in by else default
+        return f
+
+    def q_idx(*axes):
+        g = pick(*axes)
+        return (g("b"), g("q"), g("g"))
+
+    def kv_idx(offset_groups):
+        def im(*axes):
+            g = pick(*axes)
+            return (g("b"), 0, offset_groups + g("g"))
+        return im
+
+    specs = [
+        pl.BlockSpec((1, tq, lanes), q_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nk, lanes), kv_idx(0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nk, lanes), kv_idx(num_groups), memory_space=pltpu.VMEM),
+    ]
+    if has_bias:
+        def bias_im(*axes):
+            g = pick(*axes)
+            return (g("g"), g("q"), 0)
+        specs.append(
+            pl.BlockSpec((group, tq, nk), bias_im, memory_space=pltpu.VMEM)
+        )
+    if has_qvb:
+        def qvb_im(*axes):
+            g = pick(*axes)
+            return (0, g("g"))
+        specs.append(pl.BlockSpec((3, lanes), qvb_im, memory_space=pltpu.VMEM))
+
+    def lse_im(*axes):
+        g = pick(*axes)
+        return (g("b"), g("g"), g("q"), 0)
+
+    lse_spec = pl.BlockSpec((1, 1, tq, group), lse_im, memory_space=pltpu.VMEM)
+    qtile_spec = pl.BlockSpec((1, tq, lanes), q_idx, memory_space=pltpu.VMEM)
+
+    def kvfull_idx(*axes):
+        g = pick(*axes)
+        return (g("b"), 0, g("g"))
+
+    kvfull_spec = pl.BlockSpec((1, nk, lanes), kvfull_idx, memory_space=pltpu.VMEM)
+    return specs, lse_spec, qtile_spec, kvfull_spec
+
+
+def _cross_common(q, kv, num_heads):
+    b, nq, c = q.shape
+    nk = kv.shape[1]
+    head_dim = c // num_heads
+    plan = _cross_plan(head_dim, num_heads, nq, nk)
+    assert plan is not None, (num_heads, head_dim, nq, nk)
+    group, tq = plan
+    return b, nq, nk, c, head_dim, group, num_heads // group, group * head_dim, tq
+
+
+def _cross_fwd_impl(q, kv, bias, qv_bias, seed, scale, num_heads,
+                    dropout_rate, want_lse=True):
+    b, nq, nk, c, head_dim, group, num_groups, lanes, tq = _cross_common(
+        q, kv, num_heads)
+    num_tiles = -(-nq // tq)
+    has_bias, has_qvb = bias is not None, qv_bias is not None
+    specs, lse_spec, qtile_spec, _ = _cross_specs(
+        nq, nk, tq, lanes, group, num_groups, has_bias, has_qvb, "b g q"
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + specs
+    args = [seed, q, kv, kv]
+    if has_bias:
+        args.append(bias)
+    if has_qvb:
+        args.append(qv_bias)
+    kernel = functools.partial(
+        lambda *refs, **kw: _stream_fwd_kernel(refs, **kw),
+        scale=scale, dropout_rate=dropout_rate, group=group,
+        head_dim=head_dim, num_groups=num_groups, num_tiles=num_tiles,
+        has_bias=has_bias, has_qvb=has_qvb, want_lse=want_lse,
+    )
+    out_specs = [qtile_spec]
+    out_shapes = [jax.ShapeDtypeStruct((b, nq, c), q.dtype)]
+    if want_lse:
+        out_specs.append(lse_spec)
+        out_shapes.append(
+            jax.ShapeDtypeStruct((b, num_groups, nq, group), jnp.float32))
+    outs = pl.pallas_call(
+        kernel,
+        interpret=INTERPRET,
+        grid=(b, num_groups, num_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * nq * nk * head_dim,
+            bytes_accessed=2 * b * (nq + nk) * c * q.dtype.itemsize,
+            transcendentals=b * num_heads * nq * nk,
+        ),
+    )(*args)
+    return (outs[0], outs[1]) if want_lse else (outs[0], None)
+
+
+def _cross_bwd_impl(q, kv, bias, qv_bias, seed, lse, g, scale, num_heads,
+                    dropout_rate):
+    b, nq, nk, c, head_dim, group, num_groups, lanes, tq = _cross_common(
+        q, kv, num_heads)
+    num_tiles = -(-nq // tq)
+    has_bias, has_qvb = bias is not None, qv_bias is not None
+    kw = dict(
+        scale=scale, dropout_rate=dropout_rate, group=group,
+        head_dim=head_dim, num_groups=num_groups, num_tiles=num_tiles,
+        has_bias=has_bias, has_qvb=has_qvb, seq_len=nq, q_tile=tq,
+    )
+
+    specs, lse_spec, qtile_spec, _ = _cross_specs(
+        nq, nk, tq, lanes, group, num_groups, has_bias, has_qvb, "g q b"
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + specs + [lse_spec, qtile_spec]
+    args = [seed, q, kv, kv]
+    if has_bias:
+        args.append(bias)
+    if has_qvb:
+        args.append(qv_bias)
+    args += [lse, g]
+    out_specs = [qtile_spec]
+    out_shapes = [jax.ShapeDtypeStruct((b, nq, c), q.dtype)]
+    if has_bias:
+        out_specs.append(
+            pl.BlockSpec((group, tq, nk), lambda gg, qt, b_: (gg, qt, 0),
+                         memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct(bias.shape, jnp.float32))
+    outs1 = pl.pallas_call(
+        functools.partial(lambda *refs, **k: _stream_bwd_dq_kernel(refs, **k), **kw),
+        interpret=INTERPRET,
+        grid=(num_groups, num_tiles, b),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        cost_estimate=pl.CostEstimate(
+            flops=6 * b * num_heads * nq * nk * head_dim,
+            bytes_accessed=3 * b * (nq + nk) * c * q.dtype.itemsize,
+            transcendentals=b * num_heads * nq * nk,
+        ),
+    )(*args)
+    dq = outs1[0]
+    dbias = outs1[1].astype(bias.dtype) if has_bias else None
+
+    specs, lse_spec, qtile_spec, kvfull_spec = _cross_specs(
+        nq, nk, tq, lanes, group, num_groups, has_bias, has_qvb, "g b q"
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + specs + [lse_spec, qtile_spec]
+    outs2 = pl.pallas_call(
+        functools.partial(lambda *refs, **k: _stream_bwd_dkv_kernel(refs, **k), **kw),
+        interpret=INTERPRET,
+        grid=(num_groups, b, num_tiles),
+        in_specs=in_specs,
+        out_specs=[kvfull_spec, kvfull_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, nk, c), jnp.float32)] * 2,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * num_heads * nq * nk * head_dim,
+            bytes_accessed=3 * b * (nq + nk) * c * q.dtype.itemsize,
+            transcendentals=b * num_heads * nq * nk,
+        ),
+    )(*args)
+    dkv = jnp.concatenate(
+        [outs2[0].astype(q.dtype), outs2[1].astype(q.dtype)], axis=-1)
+    dqvb = None
+    if qv_bias is not None:
+        # q/v bias cotangents from the separate grads; k row stays zero
+        # (see _reduce_qv_bias_grad)
+        dqb = dq.astype(jnp.float32).sum(axis=(0, 1))
+        dvb = dkv[..., c:].astype(jnp.float32).sum(axis=(0, 1))
+        dqvb = jnp.stack([dqb, jnp.zeros_like(dqb), dvb]).astype(qv_bias.dtype)
+    return dq, dkv, dbias, dqvb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def cross_qkv_attention(q, kv, bias, qv_bias, scale, num_heads, dropout_rate,
+                        seed=None):
+    """Attention of q [B, Nq, C] against packed kv [B, Nk, 2C] (k|v).
+
+    The local computation of token(seq)-sharded attention: q rows are a
+    shard, kv is the all-gathered whole. bias: [H, Nq, Nk] or None (query
+    rows sharded like q). dropout_rate must be 0 — the in-kernel prng seed
+    replay is not defined across re-sharded grids (finetune's default
+    attn_drop=0; error otherwise)."""
+    assert dropout_rate == 0.0, "seq-sharded attention requires attn_drop=0"
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    out, _ = _cross_fwd_impl(q, kv, bias, qv_bias, seed, scale, num_heads,
+                             0.0, want_lse=False)
+    return out
+
+
+def _cross_vjp_fwd(q, kv, bias, qv_bias, scale, num_heads, dropout_rate,
+                   seed=None):
+    if seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    out, lse = _cross_fwd_impl(q, kv, bias, qv_bias, seed, scale, num_heads,
+                               0.0, want_lse=True)
+    return out, (q, kv, bias, qv_bias, seed, lse)
+
+
+def _cross_vjp_bwd(scale, num_heads, dropout_rate, res, g):
+    q, kv, bias, qv_bias, seed, lse = res
+    dq, dkv, dbias, dqvb = _cross_bwd_impl(
+        q, kv, bias, qv_bias, seed, lse, g, scale, num_heads, 0.0
+    )
+    return dq, dkv, dbias, dqvb, None
+
+
+cross_qkv_attention.defvjp(_cross_vjp_fwd, _cross_vjp_bwd)
+
+
+def seq_sharded_qkv_attention(
+    qkv: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    qv_bias: Optional[jnp.ndarray],
+    scale: float,
+    num_heads: int,
+    mesh,
+    data_axis: str = "data",
+    seq_axis: str = "seq",
+) -> jnp.ndarray:
+    """Token(seq)-sharded fused attention over a (data × seq × …) mesh.
+
+    qkv [B, N, 3C] is sharded P(data, seq, None); each shard all-gathers
+    k/v over `seq` (ICI collective — the canonical sequence-parallel
+    decomposition, SURVEY §5.7) and runs the cross kernel on its local query
+    rows; dk/dv scatter back through the gather's transpose
+    (reduce-scatter), emitted by jax autodiff. bias [H, N, N] shards its
+    QUERY rows over `seq`. ViT's odd N = grid²+1 is padded here to a
+    multiple of the seq axis: zero queries (their outputs are sliced off)
+    and −1e9-masked keys (their softmax weight underflows to 0 exactly).
+    Training only supports attn dropout 0 (cross_qkv_attention)."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    c = qkv.shape[-1] // 3
+    b, n, _ = qkv.shape
+    s = mesh.shape[seq_axis]
+    if s == 1:
+        seed = jnp.zeros((1,), jnp.int32)
+        return fused_qkv_attention(qkv, bias, qv_bias, seed, scale, num_heads, 0.0)
+    n_pad = -(-n // s) * s
+    if n_pad != n:
+        pad = n_pad - n
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+        if bias is None:
+            # synthesize the key mask as a bias: padded key columns get −1e9
+            mask = jnp.full((1, 1, n_pad), 0.0, jnp.float32).at[:, :, n:].set(-1e9)
+            bias = jnp.broadcast_to(mask, (num_heads, n_pad, n_pad))
+        else:
+            bias = jnp.pad(bias, ((0, 0), (0, pad), (0, 0)))
+            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad)),
+                           constant_values=-1e9)
+    has_bias, has_qvb = bias is not None, qv_bias is not None
+
+    def local(qkv_l, bias_l, qvb_l):
+        kv = jax.lax.all_gather(qkv_l[..., c:], seq_axis, axis=1, tiled=True)
+        return cross_qkv_attention(
+            qkv_l[..., :c], kv, bias_l if has_bias else None,
+            qvb_l if has_qvb else None, scale, num_heads, 0.0,
+        )
+
+    in_specs = (
+        P(data_axis, seq_axis, None),
+        P(None, seq_axis, None) if has_bias else P(),
+        P() if has_qvb else P(),
+    )
+    zeros = jnp.zeros((1,), jnp.float32)
+    out = shard_map(
+        local, mesh=mesh, in_specs=in_specs,
+        out_specs=P(data_axis, seq_axis, None),
+        # pallas_call out_shapes carry no varying-mesh-axes metadata
+        check_vma=False,
+    )(qkv, bias if has_bias else zeros, qv_bias if has_qvb else zeros)
+    return out[:, :n] if n_pad != n else out
+
+
 def _route(num_heads: int, head_dim: int, n: int) -> Optional[str]:
     if not _FORCE_STREAM and _head_group(head_dim, num_heads, n) > 0:
         return "fused"
