@@ -36,7 +36,9 @@ def main():
     )
     from uncertainty_vit_tpu.train.optim import make_optimizer
 
-    batch = 128
+    # batch 256 measured +0.9% over 128 (fixed per-step cost amortizes;
+    # 512 regresses −7% on HBM pressure) — tools/bench_quant_step.py sweep
+    batch = 256
     cfg = get_preset(
         "beit_base_patch16_224",
         use_shared_rel_pos_bias=True,

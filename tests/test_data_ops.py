@@ -240,3 +240,76 @@ def test_two_view_batch_same_region_and_vae_types():
     )
     np.testing.assert_allclose(np.asarray(sec_cu), np.asarray(second) * 2.0 - 1.0,
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pretrain_two_view_letterboxed_never_samples_fill():
+    """Letterboxed pretrain two-pic path: valid_hw confines the shared crop
+    to each sample's valid extent — outputs never contain zero fill, and the
+    two views still show the same region (round-2 gap: pretraining decoded
+    to a center-cropped square; --decode_letterbox now reaches it)."""
+    canvas = 64
+    vhw = np.asarray([[64, 40], [32, 64], [48, 48], [64, 64]], np.int32)
+    imgs_u8 = np.zeros((4, canvas, canvas, 3), np.uint8)
+    yy, xx = np.mgrid[0:canvas, 0:canvas] / canvas
+    base = np.clip((0.4 + 0.5 * np.stack([yy, xx, (yy + xx) / 2], -1)) * 255,
+                   64, 255).astype(np.uint8)
+    for i, (vh, vw) in enumerate(vhw):
+        imgs_u8[i, :vh, :vw] = base[:vh, :vw]
+
+    first, second = A.pretrain_two_view_batch(
+        jax.random.PRNGKey(5), jnp.asarray(imgs_u8), out_size=32,
+        second_size=16, color_jitter_strength=0.0, discrete_vae_type="none",
+        valid_hw=jnp.asarray(vhw),
+    )
+    # fill is 0 (→ large negative after normalize); real content ≥ 64/255
+    mean = jnp.asarray(A.IMAGENET_DEFAULT_MEAN)
+    std = jnp.asarray(A.IMAGENET_DEFAULT_STD)
+    first_raw = np.asarray(first * std + mean)
+    assert first_raw.min() > 0.15, first_raw.min()
+    assert np.asarray(second).min() > 0.15
+    for i in range(4):
+        a_small = jax.image.resize(jnp.asarray(first_raw[i]), (16, 16, 3),
+                                   method="cubic")
+        assert float(jnp.abs(a_small - second[i]).mean()) < 0.06, i
+
+
+@pytest.mark.parametrize("level", [-1, 0, 1])
+def test_pretrain_augment_letterboxed_never_samples_fill(level):
+    """Every BEiT aug ladder level honors the letterboxed valid extent
+    (RRC levels crop within it; center/resize levels compose the
+    resize-shorter+center-crop box over it)."""
+    canvas = 64
+    vhw = np.asarray([[64, 40], [32, 64], [48, 48], [64, 64]], np.int32)
+    imgs_u8 = np.zeros((4, canvas, canvas, 3), np.uint8)
+    for i, (vh, vw) in enumerate(vhw):
+        imgs_u8[i, :vh, :vw] = 128
+
+    out = A.pretrain_augment_batch(
+        jax.random.PRNGKey(7), jnp.asarray(imgs_u8), out_size=24,
+        aug_level=level, color_jitter_strength=0.0,
+        valid_hw=jnp.asarray(vhw),
+    )
+    mean = jnp.asarray(A.IMAGENET_DEFAULT_MEAN)
+    std = jnp.asarray(A.IMAGENET_DEFAULT_STD)
+    raw = np.asarray(out * std + mean)
+    # bicubic taps at a crop flush with the valid boundary reach ≤2 px of
+    # zero fill (the resampler reads the canvas, torchvision edge-clamps —
+    # a border-only artifact); the interior must be exact and no pixel may
+    # approach the fill value
+    np.testing.assert_allclose(raw[:, 2:-2, 2:-2], 128 / 255.0, atol=0.02)
+    assert raw.min() > 0.3, raw.min()
+
+
+def test_letterboxed_rrc_covers_full_valid_extent():
+    """Crop-parameter distribution over many draws spans the whole valid
+    region (the point of letterboxing: RRC over the FULL original image,
+    matching torchvision's behavior on undistorted inputs)."""
+    vh, vw = 48, 36
+    keys = jax.random.split(jax.random.PRNGKey(11), 500)
+    top, left, ch, cw = jax.vmap(
+        lambda k: A._rrc_params(k, vh, vw, (0.08, 1.0), (3.0 / 4.0, 4.0 / 3.0))
+    )(keys)
+    top, left, ch, cw = map(np.asarray, (top, left, ch, cw))
+    assert (top + ch).max() >= vh - 1 and (left + cw).max() >= vw - 1
+    assert top.min() == 0 and left.min() == 0
+    assert (top + ch).max() <= vh and (left + cw).max() <= vw

@@ -302,10 +302,11 @@ def build_loaders(
     args, is_train: bool, triplet: bool = False, letterbox_ok: bool = False
 ) -> Tuple[BatchLoader, int]:
     """letterbox_ok: only callers whose augmentation path consumes the
-    per-sample valid_hw column may enable --decode_letterbox (currently the
-    non-triplet finetune trainer); everywhere else a letterboxed canvas
-    would be augmented as if fully valid, sampling the zero fill — so the
-    flag ERRORS rather than silently no-ops on unsupported paths."""
+    per-sample valid_hw column may enable --decode_letterbox (the
+    non-triplet finetune trainer and the cyclical/BEiT/joint pretrainers);
+    everywhere else a letterboxed canvas would be augmented as if fully
+    valid, sampling the zero fill — so the flag ERRORS rather than silently
+    no-ops on unsupported paths."""
     letterbox_requested = getattr(args, "decode_letterbox", False)
     if letterbox_requested and is_train and not letterbox_ok:
         raise ValueError(

@@ -41,22 +41,24 @@ def get_args_parser():
     return p
 
 
-def two_view_batch(args, key, images_u8):
+def two_view_batch(args, key, images_u8, valid_hw=None):
     """Batched two-pic pipeline: ColorJitter+HFlip on the common image, one
     same-region RRC resampled at (input_size, second_input_size)
-    (datasets.py:70-118) — one jitted program per step."""
+    (datasets.py:70-118) — one jitted program per step. valid_hw: letterboxed
+    per-sample extents (--decode_letterbox)."""
     return pretrain_two_view_batch(
         key, jnp.asarray(images_u8), args.input_size, args.second_input_size,
         args.imagenet_default_mean_and_std, args.color_jitter,
         args.discrete_vae_type,
         second_interpolation=B.interp_method(args.second_interpolation),
+        valid_hw=valid_hw,
     )
 
 
 def main(args):
     setup_jax()
     B.validate_aug_args(args)
-    loader, _ = B.build_loaders(args, is_train=True)
+    loader, _ = B.build_loaders(args, is_train=True, letterbox_ok=True)
     steps_per_epoch = args.steps_per_epoch or len(loader)
     cfg = B.model_config_from_args(args, num_classes=0).replace(head_type="none")
     dtype = B.compute_dtype(args)
@@ -94,7 +96,8 @@ def main(args):
             if step >= steps_per_epoch:
                 break
             akey = jax.random.fold_in(data_rng, step)
-            images, vae_images = two_view_batch(args, akey, batch[0])
+            vhw = jnp.asarray(batch[1]) if len(batch) == 3 else None
+            images, vae_images = two_view_batch(args, akey, batch[0], vhw)
             masks = batched_blockwise_mask(
                 jax.random.fold_in(akey, 1), images.shape[0], grid,
                 args.num_mask_patches, args.min_mask_patches_per_block,

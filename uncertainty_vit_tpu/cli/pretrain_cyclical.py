@@ -85,7 +85,7 @@ def main(args):
         args.finetune = args.seed_model
     print(f"devices: {jax.devices()}", flush=True)
 
-    loader, _ = B.build_loaders(args, is_train=True)
+    loader, _ = B.build_loaders(args, is_train=True, letterbox_ok=True)
     steps_per_epoch = args.steps_per_epoch or len(loader)
     cfg = B.model_config_from_args(args, num_classes=0).replace(head_type="none")
     dtype = B.compute_dtype(args)
@@ -182,12 +182,16 @@ def main(args):
             if step >= steps_per_epoch:
                 break
             images_u8, _ = batch[0], batch[-1]
+            # letterboxed batches carry per-sample valid extents so the RRC
+            # covers the full original image (--decode_letterbox)
+            vhw = jnp.asarray(batch[1]) if len(batch) == 3 else None
             akey = jax.random.fold_in(data_rng, step)
             images = pretrain_augment_batch(
                 akey, jnp.asarray(images_u8), out_size=args.input_size,
                 aug_level=args.aug_level,
                 imagenet_default_mean_and_std=args.imagenet_default_mean_and_std,
                 color_jitter_strength=args.color_jitter,
+                valid_hw=vhw,
             )
             masks = batched_blockwise_mask(
                 jax.random.fold_in(akey, 1), images.shape[0], grid,

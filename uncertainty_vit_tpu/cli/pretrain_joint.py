@@ -60,7 +60,7 @@ def main(args):
         # reference --seed_model: initialize the pretrainer from a
         # checkpoint incl. surgery (run_cyclical.py:332-460)
         args.finetune = args.seed_model
-    loader, _ = B.build_loaders(args, is_train=True)
+    loader, _ = B.build_loaders(args, is_train=True, letterbox_ok=True)
     steps_per_epoch = args.steps_per_epoch or len(loader)
     cfg = B.model_config_from_args(args, num_classes=0).replace(head_type="none")
     model = JointViT(cfg=cfg, vocab_size=args.vocab_size, dtype=B.compute_dtype(args))
@@ -117,7 +117,8 @@ def main(args):
             if step >= steps_per_epoch:
                 break
             akey = jax.random.fold_in(data_rng, step)
-            images, vae_images = two_view_batch(args, akey, batch[0])
+            vhw = jnp.asarray(batch[1]) if len(batch) == 3 else None
+            images, vae_images = two_view_batch(args, akey, batch[0], vhw)
             masks = batched_blockwise_mask(
                 jax.random.fold_in(akey, 1), images.shape[0], grid,
                 args.num_mask_patches, args.min_mask_patches_per_block,

@@ -588,12 +588,23 @@ def pretrain_augment_batch(
     aug_level: int = -1,
     imagenet_default_mean_and_std: bool = True,
     color_jitter_strength: float = 0.4,
+    valid_hw: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """The DataAugmentationForBEiT ladder (datasets.py:38-84) on device.
 
     aug_level: 0 center-crop · 1 resize+crop · 2 +hflip · 3 hflip+RRC ·
     4/-1 colorjitter+hflip+RRC (the default path). Input [B, H, W, 3] uint8 →
     normalized float32 [B, S, S, 3].
+
+    valid_hw [B, 2]: letterboxed per-sample extents (--decode_letterbox):
+    crops sample within each sample's valid region so the distribution
+    matches torchvision over the full original image. The valid region is
+    canvas-top-left-anchored, so the hflip moves AFTER the crop (the
+    per-sample flip of a crop drawn from a left-right-symmetric
+    distribution — distributionally identical to the reference's
+    flip-then-crop order, and it never mirrors zero fill into view).
+    Levels 0-2 compose resize-shorter+center-crop into one per-sample
+    crop_and_resize box over the valid extent.
     """
     mean = IMAGENET_DEFAULT_MEAN if imagenet_default_mean_and_std else IMAGENET_INCEPTION_MEAN
     std = IMAGENET_DEFAULT_STD if imagenet_default_mean_and_std else IMAGENET_INCEPTION_STD
@@ -603,6 +614,32 @@ def pretrain_augment_batch(
     if aug_level in (4, -1):
         imgs = color_jitter_batch(kj, imgs, color_jitter_strength,
                                   color_jitter_strength, color_jitter_strength)
+    if valid_hw is not None:
+        vh = valid_hw[:, 0].astype(jnp.float32)
+        vw = valid_hw[:, 1].astype(jnp.float32)
+        if aug_level in (3, 4, -1):
+            out = random_resized_crop_batch(kc, imgs, out_size,
+                                            valid_hw=valid_hw)
+        else:
+            # resize-shorter-to-(out/.875)+center-crop(out) ≡ a centered
+            # square box of side .875·shorter over the valid extent,
+            # resampled to out (level 0: box side = out, no pre-resize)
+            shorter = jnp.minimum(vh, vw)
+            side = (
+                jnp.minimum(jnp.float32(out_size), shorter)
+                if aug_level == 0 else 0.875 * shorter
+            )
+            sidei = jnp.round(side).astype(jnp.int32)
+            top = ((vh - side) / 2.0).astype(jnp.int32)
+            left = ((vw - side) / 2.0).astype(jnp.int32)
+            out = jnp.clip(
+                crop_and_resize_batch(imgs, top, left, sidei, sidei,
+                                      (out_size, out_size)),
+                0.0, 1.0,
+            )
+        if aug_level in (2, 3, 4, -1):
+            out = random_hflip_batch(kf, out)
+        return normalize(from_planar(out), mean, std)
     if aug_level in (2, 3, 4, -1):
         imgs = random_hflip_batch(kf, imgs)
     if aug_level in (3, 4, -1):
@@ -697,6 +734,7 @@ def pretrain_two_view_batch(
     color_jitter_strength: float = 0.4,
     discrete_vae_type: str = "none",
     second_interpolation: str = "bicubic",
+    valid_hw: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """DataAugmentationForBEiT two-pic path (datasets.py:70-118), fully
     batched — ONE jitted program per step, no per-sample Python tracing.
@@ -707,7 +745,12 @@ def pretrain_two_view_batch(
     transforms.py:164-183). The student view is mean/std-normalized; the
     tokenizer view follows `discrete_vae_type` (datasets.py:86-102):
     'none' → raw [0,1]; 'dall-e' → map_pixels; 'customized' → Inception
-    normalize."""
+    normalize.
+
+    valid_hw [B, 2]: letterboxed per-sample extents (--decode_letterbox) —
+    the shared crop samples within each sample's valid region, and the
+    shared hflip applies to BOTH output views after the crop (see
+    pretrain_augment_batch for why the flip moves)."""
     mean = IMAGENET_DEFAULT_MEAN if imagenet_default_mean_and_std else IMAGENET_INCEPTION_MEAN
     std = IMAGENET_DEFAULT_STD if imagenet_default_mean_and_std else IMAGENET_INCEPTION_STD
     imgs = to_planar(images_u8)
@@ -715,13 +758,20 @@ def pretrain_two_view_batch(
 
     imgs = color_jitter_batch(kj, imgs, color_jitter_strength,
                               color_jitter_strength, color_jitter_strength)
-    imgs = random_hflip_batch(kf, imgs)
+    if valid_hw is None:
+        imgs = random_hflip_batch(kf, imgs)
 
     b, _, h, w = imgs.shape
     keys = jax.random.split(kc, b)
-    top, left, ch, cw = jax.vmap(
-        lambda k: _rrc_params(k, h, w, (0.08, 1.0), (3.0 / 4.0, 4.0 / 3.0))
-    )(keys)
+    if valid_hw is None:
+        top, left, ch, cw = jax.vmap(
+            lambda k: _rrc_params(k, h, w, (0.08, 1.0), (3.0 / 4.0, 4.0 / 3.0))
+        )(keys)
+    else:
+        top, left, ch, cw = jax.vmap(
+            lambda k, vh, vw: _rrc_params(k, vh, vw, (0.08, 1.0),
+                                          (3.0 / 4.0, 4.0 / 3.0))
+        )(keys, valid_hw[:, 0], valid_hw[:, 1])
     first = jnp.clip(
         crop_and_resize_batch(imgs, top, left, ch, cw, (out_size, out_size)), 0.0, 1.0
     )
@@ -732,6 +782,12 @@ def pretrain_two_view_batch(
         ),
         0.0, 1.0,
     )
+    if valid_hw is not None:
+        # one flip draw shared by both views (the reference flips the
+        # common image before the shared crop)
+        flip = jax.random.bernoulli(kf, 0.5, (b,))[:, None, None, None]
+        first = jnp.where(flip, first[:, :, :, ::-1], first)
+        second = jnp.where(flip, second[:, :, :, ::-1], second)
 
     first = normalize(from_planar(first), mean, std)
     second = from_planar(second)
