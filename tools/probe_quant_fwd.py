@@ -51,7 +51,8 @@ def timeit(fn, args, label, iters=30, warmup=3):
     return t
 
 
-def main():
+def main(impl="pallas"):
+    Q.FWD = impl
     images = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 224, 224, 3))
     rngs = {"dropout": jax.random.PRNGKey(4), "droppath": jax.random.PRNGKey(5),
             "quant": jax.random.PRNGKey(6)}
@@ -79,4 +80,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(sys.argv[1] if len(sys.argv) > 1 else "pallas")
