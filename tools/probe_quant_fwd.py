@@ -28,6 +28,7 @@ BATCH = 128
 _real_supported = Q.supported
 
 SITES = {
+    "flat-only": lambda m, k, n: False,  # 2-D trunk layout, zero int8 sites
     "qkv": lambda m, k, n: k == 768 and n == 2304,
     "proj": lambda m, k, n: k == 768 and n == 768,
     "fc1": lambda m, k, n: k == 768 and n == 3072,

@@ -121,6 +121,13 @@ class ViTBackbone(nn.Module):
         # batch 128); 2-D activations stay in the standard layout end to end
         # (tools/probe_quant_layout.py). Reshapes to/from the attention
         # kernel's [B, N, 3C] are layout-preserving bitcasts.
+        # Counter-intuitively this holds for the XLA int8 impl too, not just
+        # Pallas: the flat layout costs +8.2 ms/fwd in ISOLATED pure-bf16
+        # forward (probe_quant_fwd 'flat-only'), but on the full train step
+        # the 3-D trunk is catastrophic for the quantize passes — measured
+        # int8-xla 145.2 / int8-xla-fwd 140.9 ms/step on the 3-D trunk vs
+        # 113.9 / 109.8 flat (bf16 107.5). The fwd-only number is an
+        # isolation artifact that inverts under autodiff.
         flat = cfg.quant != "none"
         seq = x.shape[1]
         unflat = (lambda t: t.reshape(-1, seq, c)) if flat else (lambda t: t)
