@@ -39,6 +39,11 @@ def main(quant="int8", batch=128):
 
         L._quant_seed = lambda mod, det: jnp.zeros((1,), jnp.int32)
         quant = quant[: -len("-noseed")]
+    if quant.endswith("-static"):
+        # delayed-scaling SPEED bound: fixed per-tensor scales, no amax
+        # pass (numerically uncalibrated — loss is not meaningful)
+        Q.STATIC_SCALE = True
+        quant = quant[: -len("-static")]
     impls = {
         "int8": ("pallas", "pallas", "pallas"),
         "int8-fwd": ("pallas", "bf16", "bf16"),

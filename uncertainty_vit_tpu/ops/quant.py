@@ -56,6 +56,9 @@ INTERPRET = False
 FWD = "pallas"
 DGRAD = "pallas"
 WGRAD = "pallas"
+# Speed-probe switch: fixed per-tensor activation/grad scales in the XLA
+# impl (no amax pass) — see _quantize_rows_xla.
+STATIC_SCALE = False
 
 _TM = 512  # rows per program; 512 measured fastest (1024 exceeds VMEM)
 
@@ -278,9 +281,20 @@ def _wgrad(x2d, g2d, seed):
 
 def _quantize_rows_xla(t2d, sr: bool, seed):
     """Per-row symmetric int8 quantization as plain XLA ops (fuses with the
-    surrounding graph). Returns (int8 matrix, [M, 1] f32 scales)."""
+    surrounding graph). Returns (int8 matrix, [M, 1] f32 scales).
+
+    STATIC_SCALE replaces the per-row amax reduce with a fixed per-tensor
+    scale — the arithmetic a TE-style delayed-scaling deployment would run
+    (scale carried from the previous step). SPEED-PROBE ONLY: the constant
+    here is not calibrated, so losses/grads are numerically wrong; it
+    exists to measure the composed-step bound of delayed scaling without
+    the quant_stats state threading (tools/bench_quant_step.py
+    int8-xla-static*)."""
     tf = t2d.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(tf), axis=1, keepdims=True)
+    if STATIC_SCALE:
+        amax = jnp.full((1, 1), 4.0, jnp.float32)
+    else:
+        amax = jnp.max(jnp.abs(tf), axis=1, keepdims=True)
     inv = 127.0 / jnp.maximum(amax, 1e-30)
     if sr:
         u = _sr_uniform_interp(t2d.shape, seed)
