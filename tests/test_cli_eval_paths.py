@@ -333,3 +333,32 @@ def test_unimplemented_aug_knobs_error_explicitly():
     args = FT.get_args_parser().parse_args(["--resplit"])
     with pytest.raises(ValueError, match="resplit"):
         B2.validate_aug_args(args)
+
+
+def test_mc_mean_forward_redraws_masks_per_batch():
+    """Regression (round-3 weak #3): the -C/-P MC-dropout dispatches used a
+    fixed PRNGKey(0) for EVERY batch — identical dropout masks dataset-wide.
+    The reference redraws masks every forward
+    (uncertainty_evaluations.py:479-534); two calls on the same images must
+    produce different mean logits."""
+    import jax
+    import jax.numpy as jnp
+
+    from uncertainty_vit_tpu.cli import finetune as FT
+    from uncertainty_vit_tpu.core.config import get_preset
+    from uncertainty_vit_tpu.models.vit import VisionTransformer
+
+    cfg = get_preset("beit_test_patch16_32", num_classes=7, drop_rate=0.5)
+    model = VisionTransformer(cfg=cfg)
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    variables = {"params": model.init(jax.random.PRNGKey(0), imgs)["params"]}
+
+    args = FT.get_args_parser().parse_args(
+        ["--mc_dropout", "--mc_dropout_forwards", "2", "--seed", "0"]
+    )
+    fwd = FT._mc_mean_forward(args, model, variables)
+    a, b = np.asarray(fwd(imgs)), np.asarray(fwd(imgs))
+    assert not np.allclose(a, b), "dropout masks were reused across batches"
+    # deterministic per counter position: a fresh forward stream restarts
+    fwd2 = FT._mc_mean_forward(args, model, variables)
+    np.testing.assert_allclose(np.asarray(fwd2(imgs)), a, rtol=1e-6)

@@ -339,3 +339,40 @@ def test_seq_sharded_attention_grads_match_unsharded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4
         )
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_seq_sharded_attention_odd_n_no_dense_mask(with_bias):
+    """Odd N (pad-to-multiple path): the wrapper pads QUERY rows only and
+    slices the gathered kv back to the real keys — exactness without ever
+    materializing a dense [H, n_pad, n_pad] mask bias (round-3 ADVICE:
+    ~67MB at N=1025). Forward and grads vs the unsharded kernel."""
+    n = 13  # odd, not divisible by the seq axis (2)
+    mesh = _seq_mesh()
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (4, n, 3 * C))
+    bias = (
+        jax.random.normal(jax.random.PRNGKey(1), (H, n, n)) * 0.1
+        if with_bias else None
+    )
+    seed = jnp.zeros((1,), jnp.int32)
+    out = FA.seq_sharded_qkv_attention(qkv, bias, None, SCALE, H, mesh)
+    ref = FA.fused_qkv_attention(qkv, bias, None, seed, SCALE, H, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+    if with_bias:
+        g_s = jax.grad(
+            lambda q, b: jnp.sum(
+                FA.seq_sharded_qkv_attention(q, b, None, SCALE, H, mesh) ** 2
+            ),
+            argnums=(0, 1),
+        )(qkv, bias)
+        g_r = jax.grad(
+            lambda q, b: jnp.sum(
+                FA.fused_qkv_attention(q, b, None, seed, SCALE, H, 0.0) ** 2
+            ),
+            argnums=(0, 1),
+        )(qkv, bias)
+        for a, b_ in zip(g_s, g_r):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4
+            )

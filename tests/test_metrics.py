@@ -178,3 +178,39 @@ def test_ensemble_forward():
     # member outputs match individual applies
     single = model.apply(members[1], x, deterministic=True)
     np.testing.assert_allclose(np.asarray(logits[1]), np.asarray(single), rtol=1e-4, atol=1e-5)
+
+
+def test_tace_ace_small_n_guard():
+    """Round-3 weak #4: n < n_bins made bin_n = n//n_bins = 0 — every
+    adaptive boundary index 0, degenerate bins, silently. The guard clamps
+    the bin count to n; the metric stays finite and meaningful."""
+    import jax
+    import jax.numpy as jnp
+
+    from uncertainty_vit_tpu.evals import metrics as M
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (7, 4))  # n=7 < 30 bins
+    labels = jnp.array([0, 1, 2, 3, 0, 1, 2])
+    t = float(M.tace(logits, labels))
+    a = float(M.ace(logits, labels))
+    assert np.isfinite(t) and 0.0 <= t <= 1.0
+    assert np.isfinite(a) and 0.0 <= a <= 1.0
+    # perfectly calibrated degenerate case must not be pathological
+    assert float(M.tace(jnp.zeros((2, 3)), jnp.array([0, 1]))) <= 1.0
+    # unchanged in the normal regime: clamp is a no-op when n >= n_bins
+    big_logits = jax.random.normal(jax.random.PRNGKey(1), (64, 4))
+    big_labels = jnp.arange(64) % 4
+    assert np.isfinite(float(M.tace(big_logits, big_labels)))
+
+
+def test_auroc_single_class_defined():
+    """AUROC with one class present is undefined; must return 0.0, not NaN."""
+    import jax
+    import jax.numpy as jnp
+
+    from uncertainty_vit_tpu.evals import metrics as M
+
+    logits = jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+    labels = jnp.zeros((8,), dtype=jnp.int32)
+    v = float(M.auroc_ovr_macro(logits, labels))
+    assert v == 0.0

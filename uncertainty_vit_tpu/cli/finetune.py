@@ -223,6 +223,22 @@ def _load_ensemble_members(args, variables):
     return members
 
 
+def _mc_mean_forward(args, model, variables):
+    """MC-dropout mean forward for the -C/-P dispatches with a FRESH rng per
+    batch (fold-in counter, like evals/classification.py:102). The reference
+    redraws dropout masks on every forward (uncertainty_evaluations.py:479-534);
+    reusing one key would correlate errors across the whole dataset."""
+    from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
+
+    mc = make_mc_dropout_mean_forward(
+        _mc_eval_model(model), args.mc_dropout_forwards,
+        split_at=args.mc_dropout_split_at,
+    )
+    rng0 = jax.random.PRNGKey(args.seed)
+    counter = iter(range(1 << 30))
+    return lambda imgs: mc(variables, imgs, jax.random.fold_in(rng0, next(counter)))
+
+
 def _default_eval_forward(args, model, variables):
     """Deterministic jitted forward for the robustness dispatches; with
     --het_layer each call folds a fresh 'mc' rng so the heteroscedastic
@@ -245,12 +261,7 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
         if args.stochastic:
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
         elif args.mc_dropout:
-            from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
-            mc = make_mc_dropout_mean_forward(
-                _mc_eval_model(model), args.mc_dropout_forwards,
-                split_at=args.mc_dropout_split_at,
-            )
-            fwd = lambda imgs: mc(variables, imgs, jax.random.PRNGKey(0))
+            fwd = _mc_mean_forward(args, model, variables)
         elif args.ensembles:
             # ensembles_c_evaluate (uncertainty_evaluations.py:393-476):
             # mean member logits per corrupted batch
@@ -312,12 +323,7 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
         elif args.mc_dropout:
             # mc_dropout_p_evaluate (uncertainty_evaluations.py:661-720):
             # mean of K dropout-enabled logits per frame, drop-path off
-            from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
-            mc = make_mc_dropout_mean_forward(
-                _mc_eval_model(model), args.mc_dropout_forwards,
-                split_at=args.mc_dropout_split_at,
-            )
-            fwd = lambda imgs: mc(variables, imgs, jax.random.PRNGKey(0))
+            fwd = _mc_mean_forward(args, model, variables)
         elif args.ensembles:
             # ensembles_p_evaluate (uncertainty_evaluations.py:724-737,
             # dispatched at :635): mean member logits per frame batch

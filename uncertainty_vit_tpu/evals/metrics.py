@@ -116,6 +116,13 @@ def tace(logits, labels, threshold: float = 0.01, n_bins: int = 30) -> jnp.ndarr
     probs = softmax_probs(logits)
     probs = jnp.where(probs < threshold, 0.0, probs)
     n = probs.shape[0]
+    # Small-N guard: with n < n_bins the reference's n//n_bins stride is 0,
+    # collapsing every boundary onto sample 0 (degenerate bins, silently).
+    # Clamp the bin count to n so each bin holds ≥1 sample; unchanged when
+    # n >= n_bins (the only regime the reference runs).
+    n_bins = min(n_bins, n)
+    if n_bins == 0:
+        return jnp.float32(0.0)
     bin_n = n // n_bins
     idx = jnp.arange(n_bins) * bin_n  # boundary sample indices
 
@@ -155,7 +162,9 @@ def auroc_ovr_macro(logits, labels) -> jnp.ndarray:
     """Multiclass AUROC, one-vs-rest macro average (torchmetrics AUROC
     semantics, engine_for_finetuning.py:25). Rank-statistic (Mann-Whitney U)
     formulation with average ranks for ties; classes with no positives or no
-    negatives are excluded from the average."""
+    negatives are excluded from the average. Small-N edge: when NO class has
+    both positives and negatives (e.g. a single-class eval set), AUROC is
+    undefined and this returns 0.0 rather than NaN."""
     probs = softmax_probs(logits)
     n = probs.shape[0]
 

@@ -1167,8 +1167,11 @@ def seq_sharded_qkv_attention(
     rows; dk/dv scatter back through the gather's transpose
     (reduce-scatter), emitted by jax autodiff. bias [H, N, N] shards its
     QUERY rows over `seq`. ViT's odd N = grid²+1 is padded here to a
-    multiple of the seq axis: zero queries (their outputs are sliced off)
-    and −1e9-masked keys (their softmax weight underflows to 0 exactly).
+    multiple of the seq axis on the QUERY side only (zero queries, outputs
+    sliced off); the gathered kv is sliced back to the real n keys inside
+    the shard — the tail padding drops out exactly, so no key mask (and no
+    dense [H, n_pad, n_pad] mask bias — round-3 ADVICE measured ~67MB of
+    HBM for it at N=1025) is ever materialized.
     Training only supports attn dropout 0 (cross_qkv_attention)."""
     from jax.sharding import PartitionSpec as P
 
@@ -1184,18 +1187,18 @@ def seq_sharded_qkv_attention(
     if n_pad != n:
         pad = n_pad - n
         qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
-        if bias is None:
-            # synthesize the key mask as a bias: padded key columns get −1e9
-            mask = jnp.full((1, 1, n_pad), 0.0, jnp.float32).at[:, :, n:].set(-1e9)
-            bias = jnp.broadcast_to(mask, (num_heads, n_pad, n_pad))
-        else:
+        if bias is not None:
+            # query rows only; the key dim stays n (padded keys are sliced
+            # out of the gathered kv below, so they need no mask)
             bias = jnp.pad(bias, ((0, 0), (0, pad), (0, 0)))
-            bias = jnp.pad(bias, ((0, 0), (0, 0), (0, pad)),
-                           constant_values=-1e9)
     has_bias, has_qvb = bias is not None, qv_bias is not None
 
     def local(qkv_l, bias_l, qvb_l):
         kv = jax.lax.all_gather(qkv_l[..., c:], seq_axis, axis=1, tiled=True)
+        # tiled gather preserves global token order, so the n_pad − n pad
+        # rows sit at the tail — drop them; autodiff zero-pads dk/dv back
+        # before the gather's reduce-scatter transpose (exact)
+        kv = kv[:, :n]
         return cross_qkv_attention(
             qkv_l[..., :c], kv, bias_l if has_bias else None,
             qvb_l if has_qvb else None, scale, num_heads, 0.0,

@@ -63,17 +63,25 @@ STATIC_SCALE = False
 _TM = 512  # rows per program; 512 measured fastest (1024 exceeds VMEM)
 
 
+# The wgrad kernel accumulates raw int8 products in int32; the worst-case
+# bound |sum| <= 127*127*M stays below 2^31 only for M <= 133_152. Cap at
+# the power of two below it (ViT-B/224 at batch 256 is M=50_432; a 384-input
+# batch-256 finetune would be M≈148k and must fall back to bf16).
+_MAX_M_INT32_ACC = 131_072
+
+
 def supported(m: int, k: int, n: int) -> bool:
     """Kernel constraints: lane dims must be 128-aligned; tiny trunks are
-    not worth quantizing (and the MXU needs the big tiles to win)."""
-    return k % 128 == 0 and n % 128 == 0 and m >= 8
+    not worth quantizing (and the MXU needs the big tiles to win); M is
+    bounded so the wgrad int32 accumulator guarantee holds."""
+    return k % 128 == 0 and n % 128 == 0 and 8 <= m <= _MAX_M_INT32_ACC
 
 
 def _tm(m: int) -> int:
     return min(_TM, -(-m // 8) * 8)
 
 
-def quantize_cols(w: jnp.ndarray, sr: bool = False):
+def quantize_cols(w: jnp.ndarray):
     """Per-output-column symmetric int8 quantization of a [K, N] matrix
     (XLA; the weight pass is tiny next to the activation pass)."""
     wf = w.astype(jnp.float32)

@@ -58,7 +58,7 @@ def make_dist_finetune_train_step(
 
     def step_fn(state: DistFinetuneState, img, pos, neg, labels, rng):
         rng = jax.random.fold_in(rng, state.step)
-        r_mix, r_drop, r_path = jax.random.split(rng, 3)
+        r_mix, r_drop, r_path, r_quant = jax.random.split(rng, 4)
 
         if hp.mixup_active:
             img, targets = mixup_cutmix(
@@ -71,9 +71,13 @@ def make_dist_finetune_train_step(
 
         def loss_fn(params):
             variables = {"params": params}
+            # 'quant' rng: the stochastic model supports cfg.quant='int8'
+            # (layers.py 2-D DualSto bridge); without a per-step quant fold
+            # gradient stochastic rounding would reuse one dither every
+            # layer/step — a deterministic, biased estimator (ADVICE r3).
             mean, cov, logits = model.apply(
                 variables, img, deterministic=False,
-                rngs={"dropout": r_drop, "droppath": r_path},
+                rngs={"dropout": r_drop, "droppath": r_path, "quant": r_quant},
             )
             ce = L.soft_target_cross_entropy(logits, targets)
 
