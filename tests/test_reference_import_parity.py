@@ -1,0 +1,128 @@
+"""Direct-import reference parity (VERDICT r3 next-step #3).
+
+These tests EXECUTE the real /root/reference/modeling_finetune.py and
+modeling_cyclical.py (via tests/reference_shim.py's minimal timm shims),
+load the torch models' own initialized weights into our flax models through
+`utils.checkpoint.import_torch_params` — the production .pth import path —
+and assert logit / teacher-target parity at full ViT-B/224 size. Unlike
+tests/test_torch_parity.py (inline re-derivations), a failure here can only
+mean our model or importer diverges from the reference code itself.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests.reference_shim import load_reference
+from uncertainty_vit_tpu.core.config import get_preset
+from uncertainty_vit_tpu.models.cyclical import CyclicalViT
+from uncertainty_vit_tpu.models.vit import VisionTransformer
+from uncertainty_vit_tpu.utils import checkpoint as C
+
+RTOL, ATOL = 2e-4, 2e-5
+B = 2
+
+
+def _state_dict_np(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def _images():
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 224, 224, 3))
+    xt = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))  # NHWC → NCHW
+    return x, xt
+
+
+@pytest.fixture(scope="module")
+def reference():
+    return load_reference()
+
+
+def test_finetune_vitb_logit_parity_vs_reference_code(reference):
+    """beit_base_patch16_224 (modeling_finetune.py:1221-1229) with shared
+    rel-pos bias, abs pos embed, mean pooling, layer scale 0.1 — the README
+    finetune configuration — vs our flagship backbone at full ViT-B size."""
+    mf, _ = reference
+    tm = mf.beit_base_patch16_224(
+        pretrained=False, pretrained_cfg=None, pretrained_cfg_overlay=None,
+        num_classes=10, use_shared_rel_pos_bias=True, init_values=0.1,
+    )
+    tm.eval()
+    x, xt = _images()
+    with torch.no_grad():
+        ref_logits = tm(xt).numpy()
+
+    cfg = get_preset(
+        "beit_base_patch16_224", num_classes=10, use_shared_rel_pos_bias=True,
+        init_values=0.1, use_flash_attention=False,
+    )
+    ours = VisionTransformer(cfg=cfg)
+    template = jax.eval_shape(ours.init, jax.random.PRNGKey(0), x)["params"]
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), template
+    )
+    params, missing, unused = C.import_torch_params(_state_dict_np(tm), template)
+    assert not missing, missing
+    # buffers (relative_position_index) are the only tolerated leftovers
+    assert all("relative_position_index" in u for u in unused), unused
+
+    logits = ours.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=RTOL, atol=ATOL)
+
+
+def test_cyclical_vitb_teacher_and_student_parity_vs_reference_code(reference):
+    """VisionTransformerForCyclicalTraining (modeling_cyclical.py:33-225):
+    teacher mode (layer_results='end', all 12 layers) and the masked-token
+    student head, reference weights imported into CyclicalViT."""
+    _, mc = reference
+    tm = mc.beit_base_patch16_224(
+        pretrained=False, pretrained_cfg=None, pretrained_cfg_overlay=None,
+        use_shared_rel_pos_bias=True, init_values=0.1,
+    )
+    tm.eval()
+    x, xt = _images()
+    rs = np.random.RandomState(0)
+    mask_np = (rs.rand(B, 196) < 0.3).astype(np.float32)
+    mask_t = torch.from_numpy(mask_np)
+    mask_j = jnp.asarray(mask_np)
+
+    with torch.no_grad():
+        # teacher runs UNMASKED (engine_for_cyclical.py:68-88)
+        ref_layers = [z.numpy() for z in tm(xt, None, layer_results="end")]
+        ref_student = tm(xt, mask_t).numpy()  # [num_masked, emb] row-major
+
+    cfg = get_preset(
+        "beit_base_patch16_224", use_shared_rel_pos_bias=True,
+        init_values=0.1, use_flash_attention=False,
+    )
+    ours = CyclicalViT(cfg=cfg)
+    template = jax.eval_shape(ours.init, jax.random.PRNGKey(0), x, mask_j)["params"]
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), template
+    )
+    params, missing, unused = C.import_torch_params(_state_dict_np(tm), template)
+    assert not missing, missing
+    assert all("relative_position_index" in u for u in unused), unused
+
+    # teacher: per-layer activations, cls stripped, NO mask (run path:
+    # engine_for_cyclical.py:68-88 runs the teacher unmasked)
+    out_layers = ours.apply(
+        {"params": params}, x, None, layer_results="end", deterministic=True
+    )
+    assert len(out_layers) == len(ref_layers) == 12
+    for i, (a, r) in enumerate(zip(out_layers, ref_layers)):
+        np.testing.assert_allclose(
+            np.asarray(a), r, rtol=RTOL, atol=ATOL, err_msg=f"layer {i}"
+        )
+
+    # student: ours applies lm_head to ALL patch tokens (documented XLA
+    # static-shape divergence, models/cyclical.py:8-12); the reference
+    # gathers masked rows first — compare at the masked rows
+    out_student = ours.apply({"params": params}, x, mask_j, deterministic=True)
+    picked = np.asarray(out_student).reshape(B * 196, -1)[
+        mask_np.reshape(-1).astype(bool)
+    ]
+    np.testing.assert_allclose(picked, ref_student, rtol=RTOL, atol=ATOL)
