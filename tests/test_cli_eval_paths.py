@@ -320,14 +320,16 @@ def test_new_reference_flags_wire_through(cifar_root, tmp_path):
     assert "test_acc1" not in log[0] and "train_loss" in log[0]
 
 
-def test_unimplemented_aug_knobs_error_explicitly():
+def test_aug_knob_validation():
+    """elem/pair and cutmix_minmax are now implemented (round-3 Missing #3);
+    only genuinely unimplemented knobs / malformed values error."""
     from uncertainty_vit_tpu.cli import builders as B2
     from uncertainty_vit_tpu.cli import finetune as FT
 
-    args = FT.get_args_parser().parse_args(["--mixup_mode", "elem"])
-    with pytest.raises(ValueError, match="mixup_mode"):
-        B2.validate_aug_args(args)
-    args = FT.get_args_parser().parse_args(["--cutmix_minmax", "0.2", "0.8"])
+    for ok in (["--mixup_mode", "elem"], ["--mixup_mode", "pair"],
+               ["--cutmix_minmax", "0.2", "0.8"]):
+        B2.validate_aug_args(FT.get_args_parser().parse_args(ok))
+    args = FT.get_args_parser().parse_args(["--cutmix_minmax", "0.2"])
     with pytest.raises(ValueError, match="cutmix_minmax"):
         B2.validate_aug_args(args)
     args = FT.get_args_parser().parse_args(["--resplit"])

@@ -313,3 +313,85 @@ def test_letterboxed_rrc_covers_full_valid_extent():
     assert (top + ch).max() >= vh - 1 and (left + cw).max() >= vw - 1
     assert top.min() == 0 and left.min() == 0
     assert (top + ch).max() <= vh and (left + cw).max() <= vw
+
+
+def _timm_mix_loop(imgs, t1, apply, use_cutmix, lam, box):
+    """timm Mixup._mix_elem semantics re-derived in numpy given drawn params
+    (timm/data/mixup.py _mix_elem: j = B-1-i; cutmix pastes x_orig[j]'s box,
+    mixup blends with lam; targets y1*lam + y1.flip(0)*(1-lam))."""
+    imgs = np.asarray(imgs, dtype=np.float64)
+    x_orig = imgs.copy()
+    b = imgs.shape[0]
+    lam_t = np.where(apply, lam, 1.0)
+    for i in range(b):
+        j = b - 1 - i
+        if not apply[i]:
+            continue
+        if use_cutmix[i]:
+            m = np.asarray(box[i])[..., None]
+            imgs[i] = imgs[i] * (1 - m) + x_orig[j] * m
+        else:
+            imgs[i] = imgs[i] * lam[i] + x_orig[j] * (1 - lam[i])
+    t1 = np.asarray(t1, dtype=np.float64)
+    targets = t1 * lam_t[:, None] + t1[::-1] * (1 - lam_t[:, None])
+    return imgs, targets
+
+
+@pytest.mark.parametrize("mode", ["elem", "pair"])
+def test_mixup_elem_pair_matches_timm_loop(mode):
+    """Vectorized elem/pair mixing == timm's per-sample loop given the same
+    drawn params (run_class_finetuning.py:339-346 via timm Mixup modes)."""
+    from uncertainty_vit_tpu.ops import mixup as MX
+
+    rng = jax.random.PRNGKey(42)
+    b, h, w = 8, 16, 16
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (b, h, w, 3))
+    labels = jnp.arange(b) % 4
+
+    mixed, targets = mixup_cutmix(
+        rng, imgs, labels, num_classes=4, mixup_alpha=0.8, cutmix_alpha=1.0,
+        prob=0.7, switch_prob=0.5, label_smoothing=0.1, mode=mode,
+    )
+    count = b if mode == "elem" else b // 2
+    apply, use_cutmix, lam, box = MX._elem_params(
+        rng, count, h, w, 0.8, 1.0, 0.7, 0.5, None
+    )
+    apply, use_cutmix, lam, box = map(np.asarray, (apply, use_cutmix, lam, box))
+    if mode == "pair":
+        mirror = lambda t: np.concatenate([t, t[::-1]], axis=0)
+        apply, use_cutmix, lam, box = map(mirror, (apply, use_cutmix, lam, box))
+    t1 = one_hot_smooth(labels, 4, 0.1)
+    ref_imgs, ref_targets = _timm_mix_loop(imgs, t1, apply, use_cutmix, lam, box)
+    np.testing.assert_allclose(np.asarray(mixed), ref_imgs, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(targets), ref_targets, rtol=1e-5, atol=1e-6)
+    # the draw actually mixes something (non-degenerate test)
+    assert apply.any() and (lam[apply] < 1.0).any()
+    if mode == "pair":
+        # pair invariant: i and B-1-i share lambda
+        assert np.allclose(lam, lam[::-1])
+
+
+def test_cutmix_minmax_box_semantics():
+    """timm rand_bbox_minmax: cut dims uniform in [d*min, d*max), box never
+    clipped, lambda = 1 - realized area fraction; forced cutmix_alpha=1."""
+    from uncertainty_vit_tpu.ops import mixup as MX
+
+    h = w = 32
+    minmax = (0.25, 0.5)
+    for i in range(20):
+        box, lam = MX._rand_bbox_minmax(jax.random.PRNGKey(i), h, w, minmax)
+        box = np.asarray(box)
+        rows = box.any(axis=1).sum()
+        cols = box.any(axis=0).sum()
+        assert int(h * 0.25) <= rows < int(h * 0.5)
+        assert int(w * 0.25) <= cols < int(w * 0.5)
+        assert np.isclose(float(lam), 1.0 - rows * cols / (h * w), atol=1e-6)
+    # end-to-end: mode batch + minmax, mixup disabled -> always cutmix
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (4, h, w, 3))
+    mixed, targets = mixup_cutmix(
+        jax.random.PRNGKey(3), imgs, jnp.arange(4), num_classes=4,
+        mixup_alpha=0.0, cutmix_alpha=0.0, prob=1.0, label_smoothing=0.0,
+        cutmix_minmax=minmax,
+    )
+    np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, rtol=1e-5)
+    assert not np.allclose(np.asarray(mixed), np.asarray(imgs))

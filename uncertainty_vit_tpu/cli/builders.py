@@ -144,11 +144,13 @@ def add_data_args(p: argparse.ArgumentParser):
                    help="tokenizer-view resampler (datasets.py:75); lanczos "
                         "maps to bicubic on device")
     g.add_argument("--mixup_mode", type=str, default="batch",
-                   help="only 'batch' is implemented (timm elem/pair modes "
-                        "error explicitly)")
+                   choices=["batch", "elem", "pair"],
+                   help="timm Mixup mode: one draw per batch, per sample, "
+                        "or per mirrored pair (run_class_finetuning.py:344)")
     g.add_argument("--cutmix_minmax", type=float, nargs="+", default=None,
-                   help="not implemented — lambda-based cutmix only; "
-                        "passing it errors explicitly")
+                   help="cutmix box min/max size ratio; overrides the "
+                        "lambda-based box and forces cutmix_alpha=1.0 "
+                        "(timm rand_bbox_minmax semantics)")
     g.add_argument("--remode", type=str, default="pixel",
                    choices=["pixel", "const"],
                    help="random-erasing fill: per-pixel noise or zeros")
@@ -345,12 +347,11 @@ def interp_method(name: str) -> str:
 
 def validate_aug_args(args) -> None:
     """Explicit errors for accepted-but-unimplemented reference knobs."""
-    if getattr(args, "mixup_mode", "batch") != "batch":
-        raise ValueError("only --mixup_mode batch is implemented")
-    if getattr(args, "cutmix_minmax", None):
-        raise ValueError(
-            "--cutmix_minmax is not implemented (lambda-based cutmix only)"
-        )
+    if getattr(args, "mixup_mode", "batch") not in ("batch", "elem", "pair"):
+        raise ValueError("--mixup_mode must be one of batch/elem/pair")
+    minmax = getattr(args, "cutmix_minmax", None)
+    if minmax and len(minmax) != 2:
+        raise ValueError("--cutmix_minmax takes exactly two floats (min max)")
     if getattr(args, "resplit", False):
         raise ValueError("--resplit requires timm aug-splits; not implemented")
 

@@ -435,6 +435,8 @@ def main(args):
             mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
             mixup_prob=args.mixup_prob, mixup_switch_prob=args.mixup_switch_prob,
             label_smoothing=args.smoothing,
+            mixup_mode=args.mixup_mode,
+            cutmix_minmax=tuple(args.cutmix_minmax) if args.cutmix_minmax else None,
             lambda_finetuning=args.lambda_finetuning, lambda_pvn=args.lambda_pvn,
             update_freq=max(1, args.update_freq),
         )
@@ -446,6 +448,8 @@ def main(args):
             num_classes=nb_classes, mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
             mixup_prob=args.mixup_prob, mixup_switch_prob=args.mixup_switch_prob,
             label_smoothing=args.smoothing, mixup_active=mixup_active,
+            mixup_mode=args.mixup_mode,
+            cutmix_minmax=tuple(args.cutmix_minmax) if args.cutmix_minmax else None,
             masked_position_prob=args.masked_position_prob,
             num_patches=cfg.num_patches, model_ema_decay=args.model_ema_decay,
             head_type=cfg.head_type, update_freq=max(1, args.update_freq),

@@ -9,7 +9,7 @@ needed on TPU), and per-step LR/WD come from in-graph schedules.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import flax.struct
 import jax
@@ -43,6 +43,10 @@ class FinetuneHParams:
     mixup_switch_prob: float = 0.5
     label_smoothing: float = 0.1
     mixup_active: bool = True
+    # timm Mixup mode: 'batch' | 'elem' | 'pair' (run_class_finetuning.py:344)
+    mixup_mode: str = "batch"
+    # timm cutmix_minmax box-ratio bounds, or None (run_class_finetuning.py:342)
+    cutmix_minmax: Optional[Tuple[float, float]] = None
     # criterion when mixup is off: 'smooth' | 'ce'
     criterion: str = "smooth"
     # optional on-the-fly masking (engine_for_finetuning.py:80-82)
@@ -76,6 +80,7 @@ def make_finetune_train_step(
                 r_mix, images, labels, hp.num_classes,
                 hp.mixup_alpha, hp.cutmix_alpha, hp.mixup_prob,
                 hp.mixup_switch_prob, hp.label_smoothing,
+                mode=hp.mixup_mode, cutmix_minmax=hp.cutmix_minmax,
             )
         elif hp.label_smoothing > 0 and hp.criterion == "smooth":
             targets = one_hot_smooth(labels, hp.num_classes, hp.label_smoothing)

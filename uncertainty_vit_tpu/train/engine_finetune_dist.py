@@ -39,6 +39,8 @@ class DistFinetuneHParams:
     mixup_prob: float = 1.0
     mixup_switch_prob: float = 0.5
     label_smoothing: float = 0.1
+    mixup_mode: str = "batch"
+    cutmix_minmax: Optional[tuple] = None
     lambda_finetuning: float = 1e-4  # run_class_finetuning.py:240
     lambda_pvn: float = 1e-4  # run_class_finetuning.py:241
     # gradient accumulation: the reported LR is indexed in update units
@@ -65,6 +67,7 @@ def make_dist_finetune_train_step(
                 r_mix, img, labels, hp.num_classes,
                 hp.mixup_alpha, hp.cutmix_alpha, hp.mixup_prob,
                 hp.mixup_switch_prob, hp.label_smoothing,
+                mode=hp.mixup_mode, cutmix_minmax=hp.cutmix_minmax,
             )
         else:
             targets = one_hot_smooth(labels, hp.num_classes, hp.label_smoothing)
