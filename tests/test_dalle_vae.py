@@ -252,6 +252,183 @@ def test_dalle_pickle_loader_roundtrip(tmp_path):
         np.testing.assert_array_equal(sd[k], want[k])
 
 
+# --- Picklable dall_e.* class hierarchy (published artifact layout) ------
+# OpenAI's encoder.pkl/decoder.pkl are torch.save'd module OBJECTS whose
+# classes live at dall_e.utils.Conv2d / dall_e.encoder.Encoder(Block) /
+# dall_e.decoder.Decoder(Block); the tests below rebuild that exact object
+# graph with picklable stand-ins, pickle it, and run the real load chain
+# (load_dalle_pickle_state_dict → import_dalle_torch_params → NHWC forward).
+
+
+class _PConv2d(Conv2d):
+    pass
+
+
+class _PBlock(tnn.Module):
+    def forward(self, x):
+        return self.id_path(x) + self.post_gain * self.res_path(x)
+
+
+class _PModule(tnn.Module):
+    def forward(self, x):
+        return self.blocks(x)
+
+
+_PConv2d.__module__, _PConv2d.__qualname__ = "dall_e.utils", "Conv2d"
+_P_ENC_BLK = type("EncoderBlock", (_PBlock,), {"__module__": "dall_e.encoder"})
+_P_DEC_BLK = type("DecoderBlock", (_PBlock,), {"__module__": "dall_e.decoder"})
+_P_ENC = type("Encoder", (_PModule,), {"__module__": "dall_e.encoder"})
+_P_DEC = type("Decoder", (_PModule,), {"__module__": "dall_e.decoder"})
+
+
+def _pickle_block(blk_cls, n_in, n_out, n_layers, dec):
+    b = blk_cls()
+    b.post_gain = 1 / (n_layers**2)
+    n_hid = n_out // 4
+    b.id_path = _PConv2d(n_in, n_out, 1) if n_in != n_out else tnn.Identity()
+    b.res_path = tnn.Sequential(OrderedDict([
+        ("relu_1", tnn.ReLU()), ("conv_1", _PConv2d(n_in, n_hid, 1 if dec else 3)),
+        ("relu_2", tnn.ReLU()), ("conv_2", _PConv2d(n_hid, n_hid, 3)),
+        ("relu_3", tnn.ReLU()), ("conv_3", _PConv2d(n_hid, n_hid, 3)),
+        ("relu_4", tnn.ReLU()), ("conv_4", _PConv2d(n_hid, n_out, 3 if dec else 1)),
+    ]))
+    return b
+
+
+def _pickle_encoder():
+    n_layers = GROUPS * N_BLK
+    enc = _P_ENC()
+    widths = [N_HID, 2 * N_HID, 4 * N_HID, 8 * N_HID]
+    groups, prev = [], N_HID
+    for gi, w in enumerate(widths):
+        items = [(f"block_{bi + 1}",
+                  _pickle_block(_P_ENC_BLK, prev if bi == 0 else w, w,
+                                n_layers, dec=False))
+                 for bi in range(N_BLK)]
+        if gi < 3:
+            items.append(("pool", tnn.MaxPool2d(2)))
+        groups.append((f"group_{gi + 1}", tnn.Sequential(OrderedDict(items))))
+        prev = w
+    enc.blocks = tnn.Sequential(OrderedDict(
+        [("input", _PConv2d(3, N_HID, 7))] + groups + [
+            ("output", tnn.Sequential(OrderedDict([
+                ("relu", tnn.ReLU()), ("conv", _PConv2d(8 * N_HID, VOCAB, 1)),
+            ]))),
+        ]
+    ))
+    return enc
+
+
+def _pickle_decoder(n_init=8):
+    n_layers = GROUPS * N_BLK
+    dec = _P_DEC()
+    widths = [8 * N_HID, 4 * N_HID, 2 * N_HID, N_HID]
+    groups, prev = [], n_init
+    for gi, w in enumerate(widths):
+        items = [(f"block_{bi + 1}",
+                  _pickle_block(_P_DEC_BLK, prev if bi == 0 else w, w,
+                                n_layers, dec=True))
+                 for bi in range(N_BLK)]
+        if gi < 3:
+            items.append(("upsample",
+                          tnn.Upsample(scale_factor=2, mode="nearest")))
+        groups.append((f"group_{gi + 1}", tnn.Sequential(OrderedDict(items))))
+        prev = w
+    dec.blocks = tnn.Sequential(OrderedDict(
+        [("input", _PConv2d(VOCAB, n_init, 1))] + groups + [
+            ("output", tnn.Sequential(OrderedDict([
+                ("relu", tnn.ReLU()), ("conv", _PConv2d(N_HID, 6, 1)),
+            ]))),
+        ]
+    ))
+    return dec
+
+
+def _save_as_dalle_pickle(mod, path):
+    """torch.save with dall_e.* modules registered so pickle resolves the
+    class paths; unregister afterwards so the loader's stubs do the work."""
+    import sys
+    import types
+
+    created = {}
+    for name, attrs in (
+        ("dall_e", {}),
+        ("dall_e.utils", {"Conv2d": _PConv2d}),
+        ("dall_e.encoder", {"Encoder": _P_ENC, "EncoderBlock": _P_ENC_BLK}),
+        ("dall_e.decoder", {"Decoder": _P_DEC, "DecoderBlock": _P_DEC_BLK}),
+    ):
+        m = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        created[name] = m
+    saved = {k: sys.modules.get(k) for k in created}
+    sys.modules.update(created)
+    try:
+        torch.save(mod, path)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_dalle_encoder_pickle_chain(tmp_path):
+    """Full artifact chain: published-layout encoder object pickled under
+    dall_e.* class paths → load_dalle_pickle_state_dict (stub unpickling,
+    no dall_e installed) → import_dalle_torch_params → NHWC forward parity
+    (modeling_discrete_vae.py:213-225 load path)."""
+    torch.manual_seed(4)
+    enc_t = _pickle_encoder()
+    x = torch.rand(2, 3, 32, 32)
+    with torch.no_grad():
+        ref_logits = enc_t(x).numpy()
+
+    p = tmp_path / "encoder.pkl"
+    _save_as_dalle_pickle(enc_t, p)
+    sd = load_dalle_pickle_state_dict(str(p))
+    assert set(sd) == {f"blocks.{k}" for k in
+                       {k: None for k, _ in enc_t.blocks.state_dict().items()}}
+
+    enc = DalleEncoder(n_hid=N_HID, n_blk_per_group=N_BLK, vocab_size=VOCAB)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    tmpl = enc.init(jax.random.PRNGKey(0), xj)["params"]
+    params, missing, unused = import_dalle_torch_params(tmpl, encoder_sd=sd)
+    assert not missing, missing
+    assert not unused, unused
+    got = enc.apply({"params": params}, xj)
+    np.testing.assert_allclose(
+        np.asarray(got), ref_logits.transpose(0, 2, 3, 1), rtol=2e-4, atol=2e-5
+    )
+    assert (np.asarray(jnp.argmax(got, -1)).ravel()
+            == ref_logits.argmax(1).ravel()).all()
+
+
+def test_dalle_decoder_pickle_chain(tmp_path):
+    torch.manual_seed(5)
+    dec_t = _pickle_decoder()
+    codes = torch.randint(0, VOCAB, (2, 4, 4))
+    z = F.one_hot(codes, VOCAB).permute(0, 3, 1, 2).float()
+    with torch.no_grad():
+        ref = dec_t(z).numpy()
+
+    p = tmp_path / "decoder.pkl"
+    _save_as_dalle_pickle(dec_t, p)
+    sd = load_dalle_pickle_state_dict(str(p))
+
+    dec = DalleDecoder(n_init=8, n_hid=N_HID, n_blk_per_group=N_BLK,
+                       vocab_size=VOCAB)
+    zj = jax.nn.one_hot(jnp.asarray(codes.numpy()), VOCAB)
+    tmpl = dec.init(jax.random.PRNGKey(0), zj)["params"]
+    params, missing, unused = import_dalle_torch_params(tmpl, decoder_sd=sd)
+    assert not missing, missing
+    assert not unused, unused
+    got = dec.apply({"params": params}, zj)
+    np.testing.assert_allclose(
+        np.asarray(got), ref.transpose(0, 2, 3, 1), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_build_discrete_vae_dispatch():
     """cli.builders.build_discrete_vae mirrors the reference create_d_vae
     dispatch (utils.py:548-573): 'dall-e' → DalleVAE, 'customized' → the

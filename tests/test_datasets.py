@@ -3,6 +3,7 @@
 import os
 import pickle
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from PIL import Image
@@ -181,6 +182,52 @@ def test_batch_loader_multihost_padding(cifar_root):
         for h in range(4)
     ]
     assert set(np.concatenate(sh).tolist()) == set(range(200))
+
+
+def test_batch_loader_eval_shards_unpadded(cifar_root):
+    """Eval configuration (shuffle=False, drop_last=False) shards WITHOUT
+    padding: the union over hosts is the dataset exactly once (uneven
+    shards), so global eval metrics are invariant to num_hosts — unlike the
+    DistributedSampler-style pad, which duplicates samples and skews them
+    (data/pipeline.py pad_shards policy)."""
+    from uncertainty_vit_tpu.evals.metrics import classification_metrics
+
+    ds = D.load_cifar(cifar_root, cifar100=True, train=True)  # n=200
+
+    def pseudo_logits(imgs):
+        # deterministic per-sample "model": logits from image content
+        return imgs.reshape(imgs.shape[0], -1)[:, :10].astype(np.float32)
+
+    def run_eval(num_hosts):
+        logits, labels = [], []
+        lens = []
+        for h in range(num_hosts):
+            loader = BatchLoader(ds, 16, shuffle=False, drop_last=False,
+                                 num_workers=0, host_id=h, num_hosts=num_hosts)
+            lens.append(len(loader._indices()))
+            for imgs, lab in loader:
+                logits.append(pseudo_logits(imgs))
+                labels.append(lab)
+        return np.concatenate(logits), np.concatenate(labels), lens
+
+    ref_logits, ref_labels, _ = run_eval(1)
+    ref = classification_metrics(jnp.asarray(ref_logits), jnp.asarray(ref_labels))
+
+    for hosts in (2, 3, 7):
+        lg, lb, lens = run_eval(hosts)
+        assert sum(lens) == 200                     # exactly once, no pad
+        assert max(lens) - min(lens) <= 1           # uneven by at most 1
+        got = classification_metrics(jnp.asarray(lg), jnp.asarray(lb))
+        for k in ref:
+            np.testing.assert_allclose(
+                float(got[k]), float(ref[k]), rtol=1e-6, err_msg=f"{k}@{hosts}"
+            )
+
+    # training configuration still pads to equal shards (lockstep steps)
+    tr = [BatchLoader(ds, 16, shuffle=True, seed=1, num_workers=0,
+                      host_id=h, num_hosts=3)._indices() for h in range(3)]
+    assert all(len(s) == len(tr[0]) for s in tr)
+    assert sum(len(s) for s in tr) == 3 * -(-200 // 3)
 
 
 def test_tiny_imagenet_c_wnids_fallbacks(tmp_path):

@@ -29,6 +29,7 @@ class BatchLoader:
         host_id: int = 0,
         num_hosts: int = 1,
         prefetch: int = 4,
+        pad_shards: bool | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -39,6 +40,16 @@ class BatchLoader:
         self.host_id = host_id
         self.num_hosts = num_hosts
         self.prefetch = prefetch
+        # Shard-padding policy. Training (shuffle or drop_last) needs equal
+        # shard sizes so every host dispatches the same number of lockstep
+        # steps — pad by wrapping, like DistributedSampler. Eval loops are
+        # host-local (evals/classification.py collects logits per host, no
+        # in-loop collectives), and padded duplicates would skew the global
+        # metrics — so the eval configuration defaults to UNEVEN, unpadded
+        # shards: the union over hosts is the dataset exactly once.
+        if pad_shards is None:
+            pad_shards = shuffle or drop_last
+        self.pad_shards = pad_shards
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -51,11 +62,15 @@ class BatchLoader:
             idx = rng.permutation(n)
         else:
             idx = np.arange(n)
-        # per-host shard (DistributedSampler semantics: pad to equal shards)
+        # per-host shard (DistributedSampler semantics: pad to equal shards;
+        # eval default is unpadded/uneven — see pad_shards in __init__)
         if self.num_hosts > 1:
-            per_host = (n + self.num_hosts - 1) // self.num_hosts
-            padded = np.concatenate([idx, idx[: per_host * self.num_hosts - n]])
-            idx = padded[self.host_id :: self.num_hosts]
+            if self.pad_shards:
+                per_host = (n + self.num_hosts - 1) // self.num_hosts
+                padded = np.concatenate([idx, idx[: per_host * self.num_hosts - n]])
+                idx = padded[self.host_id :: self.num_hosts]
+            else:
+                idx = idx[self.host_id :: self.num_hosts]
         return idx
 
     def __len__(self) -> int:
