@@ -256,6 +256,100 @@ def test_finetune_step_with_mixup_runs():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_finetune_step_fused_aug():
+    """aug_fn hook: the step takes the raw uint8 host batch (+optional
+    valid_hw) and runs augmentation in-graph — one dispatch per step. The
+    fused step must train (finite, decreasing loss) and draw different aug
+    randomness on different steps."""
+    from uncertainty_vit_tpu.ops.augment import finetune_train_augment_batch
+
+    model = VisionTransformer(cfg=TINY)
+    hp = FinetuneHParams(num_classes=5, mixup_active=False, label_smoothing=0.0,
+                         num_patches=TINY.num_patches)
+    lr = schedules.constant_schedule(1e-3)
+
+    def aug(k, imgs, vhw):
+        return finetune_train_augment_batch(
+            k, imgs, 32, 0.4, 0.25, True, valid_hw=vhw
+        )
+
+    rs = np.random.RandomState(0)
+    images_u8 = rs.randint(0, 256, (8, 40, 40, 3), np.uint8)
+    labels = jnp.arange(8) % 5
+    sample = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+
+    tx = make_optimizer(
+        model.init(jax.random.PRNGKey(0), sample)["params"], lr,
+        weight_decay=0.05, clip_grad=None, layer_decay=0.65, depth=TINY.depth,
+    )
+    state = init_finetune_state(model, tx, jax.random.PRNGKey(0), sample)
+    step = make_finetune_train_step(model, tx, hp, lr, aug_fn=aug)
+
+    losses = []
+    for _ in range(15):
+        state, metrics = step(state, jnp.asarray(images_u8), labels,
+                              jax.random.PRNGKey(3))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # noise images under fresh per-step augmentation learn slowly; the
+    # deterministic rng makes this a fixed, reproducible margin
+    assert losses[-1] < losses[0] - 0.01, losses
+    # same inputs, different state.step → different aug draw → loss differs
+    assert len({round(l, 8) for l in losses[:3]}) > 1
+
+    # letterboxed variant: per-sample valid extents thread through
+    vhw = jnp.asarray(rs.randint(20, 41, (8, 2)), jnp.int32)
+    state, metrics = step(state, jnp.asarray(images_u8), labels,
+                          jax.random.PRNGKey(3), vhw)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_cyclical_step_fused_prep():
+    """prep_fn hook: uint8 batch → in-graph augment + blockwise mask →
+    teacher/student/update, one dispatch. Must run finite and vary the
+    mask/aug draw across steps."""
+    from uncertainty_vit_tpu.ops.augment import pretrain_augment_batch
+    from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask
+
+    model = CyclicalViT(cfg=TINY)
+    hp = CyclicalHParams(target_layers=(0, 1))
+    lr = schedules.constant_schedule(1e-3)
+    grid = TINY.grid_size
+
+    def prep(k, imgs_u8, vhw):
+        ka, km = jax.random.split(k)
+        images = pretrain_augment_batch(
+            ka, imgs_u8, out_size=32, aug_level=-1, valid_hw=vhw
+        )
+        masks = batched_blockwise_mask(km, images.shape[0], grid, 4, 1, 4)
+        return images, masks
+
+    rs = np.random.RandomState(0)
+    images_u8 = rs.randint(0, 256, (4, 40, 40, 3), np.uint8)
+    sample = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    sample_mask = jnp.zeros((4, TINY.num_patches)).at[:, :2].set(1.0)
+
+    tx = make_optimizer(
+        model.init(jax.random.PRNGKey(0), sample, sample_mask)["params"], lr
+    )
+    state = init_cyclical_state(model, tx, jax.random.PRNGKey(0), sample, sample_mask)
+    step = make_cyclical_train_step(model, tx, hp, lr, donate=False, prep_fn=prep)
+
+    counts = []
+    for _ in range(3):
+        state, metrics = step(state, jnp.asarray(images_u8), jax.random.PRNGKey(5))
+        assert np.isfinite(float(metrics["loss"]))
+        counts.append(float(metrics["mask_count"]))
+    # on a tiny 2×2 grid the blockwise sampler can stop short of the target
+    # within its attempt budget; non-empty is the meaningful invariant here
+    assert all(1 <= c <= 4 for c in counts), counts
+
+    # letterboxed path
+    vhw = jnp.asarray(rs.randint(20, 41, (4, 2)), jnp.int32)
+    state, metrics = step(state, jnp.asarray(images_u8), jax.random.PRNGKey(5), vhw)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_multidevice_data_parallel_step():
     """pjit train step over the 8-device CPU mesh with data-sharded batch."""
     assert len(jax.devices()) == 8

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import ast
+import collections
 
 import jax
 import jax.numpy as jnp
@@ -167,15 +168,49 @@ def main(args):
         print(f"seeded from {args.finetune}: {len(missing)} missing, {len(unused)} unused",
               flush=True)
 
-    train_step = make_cyclical_train_step(model, tx, hp, lr_schedule)
+    grid = cfg.grid_size
+
+    # fuse augment + blockwise-mask generation into the train-step jit: the
+    # uint8 host batch goes straight into ONE dispatch per step (the aug and
+    # mask dispatches previously serialized with the step on the host)
+    def prep(k, imgs_u8, vhw):
+        ka, km = jax.random.split(k)
+        images = pretrain_augment_batch(
+            ka, imgs_u8, out_size=args.input_size,
+            aug_level=args.aug_level,
+            imagenet_default_mean_and_std=args.imagenet_default_mean_and_std,
+            color_jitter_strength=args.color_jitter,
+            valid_hw=vhw,
+        )
+        masks = batched_blockwise_mask(
+            km, images.shape[0], grid,
+            args.num_mask_patches, args.min_mask_patches_per_block,
+            args.max_mask_patches_per_block,
+        )
+        return images, masks
+
+    train_step = make_cyclical_train_step(model, tx, hp, lr_schedule, prep_fn=prep)
     tb = TensorboardLogger(args.log_dir or args.output_dir)
     jsonl = JsonlLogger(args.output_dir)
-    grid = cfg.grid_size
 
     for epoch in range(start_epoch, args.epochs):
         loader.set_epoch(epoch)
         logger = MetricLogger()
-        data_rng = jax.random.fold_in(rng, epoch)
+        # Deferred metric readback (see cli/finetune.py): a 2-deep window
+        # keeps dispatch ~2 steps ahead of the blocking float(loss) sync
+        # while still catching NaNs within 2 steps.
+        pending: "collections.deque" = collections.deque()
+
+        def drain_one():
+            m, py_step = pending.popleft()
+            loss = float(m["loss"])
+            B.check_finite_or_die(loss, py_step)
+            logger.update(**{k: float(v) for k, v in m.items()})
+            tb.update(head="loss", loss=loss)
+            tb.update(head="opt", lr=float(m.get("lr", 0.0)),
+                      grad_norm=float(m["grad_norm"]))
+            tb.set_step()
+
         for step, batch in enumerate(
             logger.log_every(device_prefetch(loader), 10, f"Epoch: [{epoch}]")
         ):
@@ -185,27 +220,12 @@ def main(args):
             # letterboxed batches carry per-sample valid extents so the RRC
             # covers the full original image (--decode_letterbox)
             vhw = jnp.asarray(batch[1]) if len(batch) == 3 else None
-            akey = jax.random.fold_in(data_rng, step)
-            images = pretrain_augment_batch(
-                akey, jnp.asarray(images_u8), out_size=args.input_size,
-                aug_level=args.aug_level,
-                imagenet_default_mean_and_std=args.imagenet_default_mean_and_std,
-                color_jitter_strength=args.color_jitter,
-                valid_hw=vhw,
-            )
-            masks = batched_blockwise_mask(
-                jax.random.fold_in(akey, 1), images.shape[0], grid,
-                args.num_mask_patches, args.min_mask_patches_per_block,
-                args.max_mask_patches_per_block,
-            )
-            state, metrics = train_step(state, images, masks, rng)
-            loss = float(metrics["loss"])
-            B.check_finite_or_die(loss, int(state.step))
-            logger.update(**{k: float(v) for k, v in metrics.items()})
-            tb.update(head="loss", loss=loss)
-            tb.update(head="opt", lr=float(metrics.get("lr", 0.0)),
-                      grad_norm=float(metrics["grad_norm"]))
-            tb.set_step()
+            state, metrics = train_step(state, jnp.asarray(images_u8), rng, vhw)
+            pending.append((metrics, epoch * steps_per_epoch + step))
+            while len(pending) > 2:
+                drain_one()
+        while pending:
+            drain_one()
 
         summary = logger.epoch_summary()
         jsonl.write({"epoch": epoch, **{f"train_{k}": v for k, v in summary.items()}})

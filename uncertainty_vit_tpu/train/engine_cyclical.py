@@ -128,16 +128,24 @@ def make_cyclical_train_step(
     hp: CyclicalHParams,
     lr_schedule: Optional[Callable] = None,
     donate: bool = True,
+    prep_fn: Optional[Callable] = None,
 ):
-    """Returns jitted (state, images, mask, rng) → (state, metrics).
+    """Returns a jitted train step.
 
-    images: [B, H, W, 3] (already normalized); mask: [B, num_patches] {0,1}.
-    """
+    prep_fn=None (default): (state, images, mask, rng) → (state, metrics)
+    with images [B, H, W, 3] already normalized and mask [B, num_patches]
+    {0,1}.
 
-    def step_fn(state: CyclicalState, images, bool_masked_pos, rng):
-        r_mask, r_drop, r_path, r_quant = jax.random.split(
-            jax.random.fold_in(rng, state.step), 4
-        )
+    prep_fn: optional (key, images_u8, valid_hw) → (images, mask) run
+    IN-GRAPH — the step then takes the raw uint8 host batch,
+    (state, images_u8, rng[, valid_hw]) → (state, metrics), fusing
+    decode-boundary→augment→mask→teacher→student→update into ONE dispatch
+    per step (the reference splits CPU transforms + MaskingGenerator from
+    the hot loop, run_cyclical.py:463-494, engine_for_cyclical.py:58-60)."""
+
+    def body(state: CyclicalState, images, bool_masked_pos, rng):
+        # rng is already folded with state.step by the wrappers below
+        r_mask, r_drop, r_path, r_quant = jax.random.split(rng, 4)
 
         mask = bool_masked_pos.astype(jnp.float32)
         if hp.mask_dropout_prob > 0:
@@ -257,6 +265,20 @@ def make_cyclical_train_step(
             # schedules are built over update units (cli/builders.py)
             metrics["lr"] = lr_schedule(update_index)
         return new_state, metrics
+
+    if prep_fn is None:
+
+        def step_fn(state: CyclicalState, images, bool_masked_pos, rng):
+            return body(state, images, bool_masked_pos,
+                        jax.random.fold_in(rng, state.step))
+
+    else:
+
+        def step_fn(state: CyclicalState, images_u8, rng, valid_hw=None):
+            rng = jax.random.fold_in(rng, state.step)
+            rng, r_prep = jax.random.split(rng)
+            images, bool_masked_pos = prep_fn(r_prep, images_u8, valid_hw)
+            return body(state, images, bool_masked_pos, rng)
 
     donate_argnums = (0,) if donate else ()
     return jax.jit(step_fn, donate_argnums=donate_argnums)

@@ -67,12 +67,23 @@ def make_finetune_train_step(
     tx: optax.GradientTransformation,
     hp: FinetuneHParams,
     lr_schedule: Optional[Callable] = None,
+    aug_fn: Optional[Callable] = None,
 ):
-    """Returns jitted (state, images, labels, rng) → (state, metrics)."""
+    """Returns jitted (state, images, labels, rng[, valid_hw]) → (state, metrics).
+
+    aug_fn: optional (key, images, valid_hw) → f32 images augmentation run
+    IN-GRAPH — `images` is then the raw uint8 host batch and the whole
+    decode-boundary→aug→fwd→bwd→update program is ONE dispatch, letting XLA
+    overlap the augmentation of step i with the tail of step i-1 instead of
+    serializing two dispatches per step (the reference pays the same split
+    as separate CPU transforms + H2D, run_class_finetuning.py:117)."""
     use_sngp = hp.head_type == "sngp"
 
-    def step_fn(state: FinetuneState, images, labels, rng):
+    def step_fn(state: FinetuneState, images, labels, rng, valid_hw=None):
         rng = jax.random.fold_in(rng, state.step)
+        if aug_fn is not None:
+            rng, r_aug = jax.random.split(rng)
+            images = aug_fn(r_aug, images, valid_hw)
         r_mix, r_mask, r_drop, r_path, r_mc, r_quant = jax.random.split(rng, 6)
 
         if hp.mixup_active:
