@@ -230,6 +230,72 @@ def test_stream_backward_matches_naive(force_stream):
         )
 
 
+@pytest.fixture
+def micro_modes():
+    """BOUNDED_SCORES + bf16 lse (the round-3 ablation's unharvested fwd
+    headroom: max pass + lse store). Opt-in trace-time flags."""
+    FA.BOUNDED_SCORES = True
+    FA.LSE_DTYPE = jnp.bfloat16
+    yield
+    FA.BOUNDED_SCORES = False
+    FA.LSE_DTYPE = jnp.float32
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_bounded_scores_bf16_lse_forward(micro_modes, stream, request):
+    if stream:
+        request.getfixturevalue("force_stream")
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    bias = jax.random.normal(jax.random.PRNGKey(1), (H, N, N)) * 0.1
+    seed = jnp.zeros((1,), jnp.int32)
+    assert FA._route(H, D, N) == ("stream" if stream else "fused")
+    # forward is EXACT in no-max mode (softmax is shift-invariant; nothing
+    # overflows at these magnitudes) and does not read the lse at all
+    out = FA.fused_qkv_attention(qkv, bias, None, seed, SCALE, H, 0.0)
+    ref = naive_flat(qkv, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("stream", [False, True])
+def test_bounded_scores_bf16_lse_backward(micro_modes, stream, request):
+    if stream:
+        request.getfixturevalue("force_stream")
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    bias = jax.random.normal(jax.random.PRNGKey(1), (H, N, N)) * 0.1
+    seed = jnp.zeros((1,), jnp.int32)
+
+    g_f = jax.grad(
+        lambda q, b: jnp.sum(FA.fused_qkv_attention(q, b, None, seed, SCALE, H, 0.0) ** 2),
+        argnums=(0, 1),
+    )(qkv, bias)
+    g_r = jax.grad(
+        lambda q, b: jnp.sum(naive_flat(q, b) ** 2), argnums=(0, 1)
+    )(qkv, bias)
+    # bf16 lse quantization scales each probability row by exp(δ),
+    # |δ| ≤ half a bf16 ULP of lse (~0.4% at lse≈3) — judge the error
+    # against the gradient's scale, not elementwise (near-zero entries
+    # carry the row-scale error of their large neighbours)
+    for a, b_ in zip(g_f, g_r):
+        a, b_ = np.asarray(a), np.asarray(b_)
+        assert np.max(np.abs(a - b_)) / np.max(np.abs(b_)) < 0.02
+
+
+def test_bf16_lse_residual_dtype(micro_modes):
+    """The saved residual really is bf16 (the bandwidth the mode buys)."""
+    qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
+    seed = jnp.zeros((1,), jnp.int32)
+    _, lse = FA._fwd_impl(qkv, None, None, seed, SCALE, H, 0.0, want_lse=True)
+    assert lse.dtype == jnp.bfloat16
+    # and the stored value is log Σ exp(s) — same quantity as the max-pass
+    # path (shift-consistent), just quantized
+    FA.BOUNDED_SCORES = False
+    FA.LSE_DTYPE = jnp.float32
+    _, lse_ref = FA._fwd_impl(qkv, None, None, seed, SCALE, H, 0.0, want_lse=True)
+    np.testing.assert_allclose(
+        np.asarray(lse, np.float32), np.asarray(lse_ref), rtol=8e-3, atol=8e-3
+    )
+
+
 def test_compat_wrapper_layout():
     q = jax.random.normal(jax.random.PRNGKey(0), (B, H, N, D))
     k = jax.random.normal(jax.random.PRNGKey(1), (B, H, N, D))

@@ -16,3 +16,16 @@ def setup_jax(compilation_cache_dir: str = "/root/.cache/jax_comp") -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
+
+    # Attention micro-modes (ops/flash_attention.py trace-time flags): env
+    # opt-ins so recipes and bench tools can flip them without code edits.
+    if os.environ.get("UVIT_ATTN_BOUNDED_SCORES", "") == "1":
+        import jax.numpy as jnp  # noqa: F401
+        from uncertainty_vit_tpu.ops import flash_attention as _FA
+
+        _FA.BOUNDED_SCORES = True
+    if os.environ.get("UVIT_ATTN_LSE_BF16", "") == "1":
+        import jax.numpy as jnp
+        from uncertainty_vit_tpu.ops import flash_attention as _FA
+
+        _FA.LSE_DTYPE = jnp.bfloat16

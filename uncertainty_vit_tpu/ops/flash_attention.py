@@ -43,6 +43,20 @@ _LANE = 128
 # Set True (tests) to run the kernels in the Pallas interpreter — gives the
 # kernel code path CPU coverage where the suite runs.
 INTERPRET = False
+# Micro-headroom knobs (round-3 fwd ablation ladder,
+# tools/profile_attn_ablate.py: max pass 0.08 + lse store 0.07 ms/layer).
+# Both are read at TRACE time — set before building the jitted step.
+#
+# BOUNDED_SCORES skips the forward max pass: softmax(s) = exp(s)/Σexp(s) is
+# the same value whenever exp(s) doesn't overflow f32 (|s| ≲ 88). Scores are
+# scale·q·k + bias; safe for trained ViTs at these shapes (|s| ≲ 40
+# observed), NOT safe for arbitrary inputs — hence opt-in.
+BOUNDED_SCORES = False
+# LSE_DTYPE = jnp.bfloat16 halves the lse store (fwd) and read (bwd)
+# bandwidth. The backward rebuilds p = exp(s − lse), so a quantized lse
+# scales each probability ROW by exp(δ), |δ| ≈ lse·2⁻⁹ — a ≤~3% per-row
+# grad scale at typical lse magnitudes. Opt-in for the same reason.
+LSE_DTYPE = jnp.float32
 # VMEM budget per program for the bias block + live score/prob tiles; the
 # chip has ~16MB of VMEM and Mosaic double-buffers blocks.
 _VMEM_BUDGET = 6 * 1024 * 1024
@@ -136,9 +150,15 @@ def _fwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
             v = _qv_biased(v, qvb[2], sl)
         bias = bias_ref[i].astype(jnp.float32) if has_bias else None
         s = _scores(q, k, bias, scale)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        if BOUNDED_SCORES:
+            e = jnp.exp(s)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            lse = None
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            lse = m
         if want_lse:
             # softmax log-sum-exp for the backward: probs = exp(s − lse).
             # Single-lane store per head (a lane-dim concat of the per-head
@@ -146,7 +166,9 @@ def _fwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
             # 4-D [B, G, N, group] layout: the block must be FULL in its
             # last dim — Mosaic rejects a partial non-128 last dim, which
             # [B, N, H] blocks hit whenever group < num_heads (N=577).
-            lse_ref[:, 0, :, i:i + 1] = m - jnp.log(r)
+            # Both modes store log Σexp(s): m + log Σexp(s−m) ≡ −log r.
+            lse = -jnp.log(r) if lse is None else lse - jnp.log(r)
+            lse_ref[:, 0, :, i:i + 1] = lse.astype(lse_ref.dtype)
         if dropout_rate > 0.0:
             e = e * _dropout_mask(e.shape, dropout_rate)
         # out = (probs_dropped @ v) = ((e·mask) @ v) · r — the row-recip
@@ -211,7 +233,7 @@ def _bwd_kernel(refs, *, scale: float, dropout_rate: float, group: int,
         #   dp_raw = g vᵀ;  t = dp_raw·p_d  (= dprobs·p)
         #   c = rowsum(t);  ds = t − p·c    (softmax vjp)
         s = _scores(q, k, bias, scale)
-        p = jnp.exp(s - lse_all[:, 0, :, i:i + 1])
+        p = jnp.exp(s - lse_all[:, 0, :, i:i + 1].astype(jnp.float32))
         if dropout_rate > 0.0:
             p_d = p * _dropout_mask(p.shape, dropout_rate)
         else:
@@ -360,7 +382,7 @@ def _fwd_impl(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate,
             )
         )
         out_shapes.append(
-            jax.ShapeDtypeStruct((b, num_groups, n, group), jnp.float32)
+            jax.ShapeDtypeStruct((b, num_groups, n, group), LSE_DTYPE)
         )
     outs = pl.pallas_call(
         kernel,
@@ -561,13 +583,20 @@ def _stream_fwd_kernel(refs, *, scale, dropout_rate, group, head_dim,
         s = _scores(q, k, None, scale)
         if bias is not None:
             s = s + bias
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        if BOUNDED_SCORES:
+            e = jnp.exp(s)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            lse = None
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            lse = m
         if want_lse:
             # 4-D [B, G, N, group] layout: the block is full in its last dim,
             # which Mosaic requires when group < num_heads.
-            lse_ref[:, 0, :, i:i + 1] = m - jnp.log(r)
+            lse = -jnp.log(r) if lse is None else lse - jnp.log(r)
+            lse_ref[:, 0, :, i:i + 1] = lse.astype(lse_ref.dtype)
         if dropout_rate > 0.0:
             e = e * _dropout_mask(e.shape, dropout_rate)
         out = jax.lax.dot_general(
@@ -586,7 +615,7 @@ def _stream_recompute_tile(q, k, v, g_t, bias, lse_i, scale, dropout_rate,
     s = _scores(q, k, None, scale)
     if bias is not None:
         s = s + bias
-    p = jnp.exp(s - lse_i)
+    p = jnp.exp(s - lse_i.astype(jnp.float32))
     if valid is not None:
         p = jnp.where(valid, p, 0.0)
     if dropout_rate > 0.0:
@@ -807,7 +836,7 @@ def _stream_fwd_impl(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate,
     if want_lse:
         out_specs.append(lse_spec)
         out_shapes.append(
-            jax.ShapeDtypeStruct((b, num_groups, n, group), jnp.float32)
+            jax.ShapeDtypeStruct((b, num_groups, n, group), LSE_DTYPE)
         )
     outs = pl.pallas_call(
         kernel,
@@ -1020,7 +1049,7 @@ def _cross_fwd_impl(q, kv, bias, qv_bias, seed, scale, num_heads,
     if want_lse:
         out_specs.append(lse_spec)
         out_shapes.append(
-            jax.ShapeDtypeStruct((b, num_groups, nq, group), jnp.float32))
+            jax.ShapeDtypeStruct((b, num_groups, nq, group), LSE_DTYPE))
     outs = pl.pallas_call(
         kernel,
         interpret=INTERPRET,
