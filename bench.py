@@ -61,7 +61,16 @@ def _run(cmd, timeout_s):
         )
         return p.returncode, p.stdout, p.stderr
     except subprocess.TimeoutExpired as e:
-        return -9, (e.stdout or ""), (e.stderr or "") + f"\n[timeout {timeout_s}s]"
+        # TimeoutExpired carries the partial output as BYTES even when the
+        # run used text=True — decode before touching it (a str+bytes
+        # TypeError here once replaced the stale-fallback JSON with a
+        # traceback, the exact failure this orchestrator exists to prevent)
+        def _txt(x):
+            if isinstance(x, (bytes, bytearray)):
+                return x.decode("utf-8", "replace")
+            return x or ""
+
+        return -9, _txt(e.stdout), _txt(e.stderr) + f"\n[timeout {timeout_s}s]"
 
 
 def _probe_backend():
@@ -93,6 +102,20 @@ def _parse_result(stdout):
     return None
 
 
+def _stale_json(failure):
+    return json.dumps(
+        {
+            "metric": METRIC,
+            "value": LAST_GOOD_VALUE,
+            "unit": UNIT,
+            "vs_baseline": round(LAST_GOOD_VALUE / A100_CLASS_IMG_PER_SEC, 3),
+            "stale": True,
+            "last_good_from": LAST_GOOD_FROM,
+            "error": failure,
+        }
+    )
+
+
 def orchestrate():
     ok, detail = _probe_backend()
     failure = None
@@ -114,19 +137,7 @@ def orchestrate():
 
     # Persistent infra failure: emit the last-known-good number, clearly
     # tagged stale, and exit 0 — a structured artifact, never a traceback.
-    print(
-        json.dumps(
-            {
-                "metric": METRIC,
-                "value": LAST_GOOD_VALUE,
-                "unit": UNIT,
-                "vs_baseline": round(LAST_GOOD_VALUE / A100_CLASS_IMG_PER_SEC, 3),
-                "stale": True,
-                "last_good_from": LAST_GOOD_FROM,
-                "error": failure,
-            }
-        )
-    )
+    print(_stale_json(failure))
     return 0
 
 
@@ -200,8 +211,20 @@ def worker():
     )
 
 
-if __name__ == "__main__":
-    if "--worker" in sys.argv:
+def main(argv):
+    if "--worker" in argv:
         worker()
-    else:
-        sys.exit(orchestrate())
+        return 0
+    # Catch-all: the driver's artifact must be a JSON line with rc 0 no
+    # matter what goes wrong in the orchestrator itself.
+    try:
+        return orchestrate()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001
+        print(_stale_json(f"orchestrator {type(e).__name__}: {e}"))
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
