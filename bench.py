@@ -83,7 +83,8 @@ def _probe_backend():
             return True, out.strip().splitlines()[-1]
         last_err = (err or out).strip().splitlines()[-1:] or ["unknown"]
         last_err = last_err[0]
-        time.sleep(20 * (i + 1))
+        if i + 1 < PROBE_ATTEMPTS:  # no dead sleep after the final attempt
+            time.sleep(20 * (i + 1))
     return False, last_err
 
 
@@ -133,7 +134,8 @@ def orchestrate():
                 return 0
             tail = (err or out).strip().splitlines()[-1:] or ["no output"]
             failure = f"worker attempt {i + 1}/{WORKER_ATTEMPTS} rc={rc}: {tail[0]}"
-            time.sleep(15 * (i + 1))
+            if i + 1 < WORKER_ATTEMPTS:
+                time.sleep(15 * (i + 1))
 
     # Persistent infra failure: emit the last-known-good number, clearly
     # tagged stale, and exit 0 — a structured artifact, never a traceback.

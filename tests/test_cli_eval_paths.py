@@ -320,6 +320,25 @@ def test_new_reference_flags_wire_through(cifar_root, tmp_path):
     assert "test_acc1" not in log[0] and "train_loss" in log[0]
 
 
+def test_attn_micro_mode_env_hooks(monkeypatch):
+    """UVIT_ATTN_BOUNDED_SCORES / UVIT_ATTN_LSE_BF16 flip the trace-time
+    kernel flags from the environment (cli/common.setup_jax)."""
+    import jax.numpy as jnp
+
+    from uncertainty_vit_tpu.cli import common
+    from uncertainty_vit_tpu.ops import flash_attention as FA
+
+    monkeypatch.setenv("UVIT_ATTN_BOUNDED_SCORES", "1")
+    monkeypatch.setenv("UVIT_ATTN_LSE_BF16", "1")
+    try:
+        common.setup_jax()
+        assert FA.BOUNDED_SCORES is True
+        assert FA.LSE_DTYPE == jnp.bfloat16
+    finally:
+        FA.BOUNDED_SCORES = False
+        FA.LSE_DTYPE = jnp.float32
+
+
 def test_aug_knob_validation():
     """elem/pair and cutmix_minmax are now implemented (round-3 Missing #3);
     only genuinely unimplemented knobs / malformed values error."""
@@ -332,9 +351,33 @@ def test_aug_knob_validation():
     args = FT.get_args_parser().parse_args(["--cutmix_minmax", "0.2"])
     with pytest.raises(ValueError, match="cutmix_minmax"):
         B2.validate_aug_args(args)
+    # swapped / out-of-range bounds error loudly (timm's np.random.randint
+    # raises for lo >= hi; a silent clamp would train a constant-size cut)
+    for bad in (["0.8", "0.2"], ["-0.1", "0.5"], ["0.2", "1.5"]):
+        args = FT.get_args_parser().parse_args(["--cutmix_minmax", *bad])
+        with pytest.raises(ValueError, match="cutmix_minmax"):
+            B2.validate_aug_args(args)
     args = FT.get_args_parser().parse_args(["--resplit"])
     with pytest.raises(ValueError, match="resplit"):
         B2.validate_aug_args(args)
+
+
+def test_cutmix_minmax_alone_activates_mixing():
+    """Regression: --mixup 0 --cutmix 0 --cutmix_minmax 0.2 0.8 must still
+    activate mixing (timm forces cutmix_alpha=1.0 in minmax mode; reference
+    gate run_class_finetuning.py:340 includes the minmax term). The CLI gate
+    previously keyed on the alphas only, silently disabling the feature."""
+    from uncertainty_vit_tpu.cli import builders as B2
+    from uncertainty_vit_tpu.cli import finetune as FT
+
+    args = FT.get_args_parser().parse_args(
+        ["--mixup", "0", "--cutmix", "0", "--cutmix_minmax", "0.2", "0.8"]
+    )
+    assert B2.mixup_active(args)
+    args = FT.get_args_parser().parse_args(["--mixup", "0", "--cutmix", "0"])
+    assert not B2.mixup_active(args)
+    args = FT.get_args_parser().parse_args([])
+    assert B2.mixup_active(args)  # defaults: mixup 0.8 / cutmix 1.0
 
 
 def test_mc_mean_forward_redraws_masks_per_batch():

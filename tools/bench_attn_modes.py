@@ -74,10 +74,14 @@ def main():
         t_f = bench(fwd, (qkv, bias))
         t_fb = bench(fb, (qkv, bias))
         g = fb(qkv, bias)
+        out = fwd(qkv, bias)
         if ref_g is None:
-            ref_out, ref_g = fwd(qkv, bias), g
-            drift = (0.0, 0.0)
+            ref_out, ref_g = out, g
+            fdrift, drift = 0.0, (0.0, 0.0)
         else:
+            # forward parity vs baseline (chained 12-layer mean): exact in
+            # bounded mode, bit-identical in bf16lse (fwd never reads lse)
+            fdrift = float(jnp.abs(out - ref_out) / jnp.abs(ref_out))
             d0 = float(jnp.max(jnp.abs(g[0].astype(jnp.float32) -
                                        ref_g[0].astype(jnp.float32))) /
                        jnp.max(jnp.abs(ref_g[0].astype(jnp.float32))))
@@ -86,6 +90,7 @@ def main():
         print(
             f"{name:16s} fwd {t_f*1e3:7.2f} ms ({t_f/LAYERS*1e3:5.3f}/layer)  "
             f"fwd+bwd {t_fb*1e3:7.2f} ms ({t_fb/LAYERS*1e3:5.3f}/layer)  "
+            f"fwd-drift {fdrift:.5f}  "
             f"grad-drift dqkv {drift[0]:.4f} dbias {drift[1]:.4f}",
             flush=True,
         )

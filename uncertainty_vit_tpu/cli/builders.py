@@ -345,6 +345,17 @@ def interp_method(name: str) -> str:
     return "bilinear" if name == "bilinear" else "bicubic"
 
 
+def mixup_active(args) -> bool:
+    """timm/reference activation gate (run_class_finetuning.py:340):
+    cutmix_minmax ALONE activates mixing — timm forces cutmix_alpha=1.0
+    when the minmax mode is set, so alphas of 0 don't disable it."""
+    return (
+        args.mixup > 0
+        or args.cutmix > 0
+        or getattr(args, "cutmix_minmax", None) is not None
+    )
+
+
 def validate_aug_args(args) -> None:
     """Explicit errors for accepted-but-unimplemented reference knobs."""
     if getattr(args, "mixup_mode", "batch") not in ("batch", "elem", "pair"):
@@ -352,6 +363,13 @@ def validate_aug_args(args) -> None:
     minmax = getattr(args, "cutmix_minmax", None)
     if minmax and len(minmax) != 2:
         raise ValueError("--cutmix_minmax takes exactly two floats (min max)")
+    if minmax and not 0.0 <= minmax[0] < minmax[1] <= 1.0:
+        # timm's np.random.randint(lo, hi) raises for lo >= hi; a silent
+        # clamp here would train with a constant-size cut instead
+        raise ValueError(
+            "--cutmix_minmax must satisfy 0 <= min < max <= 1, got "
+            f"{tuple(minmax)}"
+        )
     if getattr(args, "resplit", False):
         raise ValueError("--resplit requires timm aug-splits; not implemented")
 

@@ -19,13 +19,13 @@ def setup_jax(compilation_cache_dir: str = "/root/.cache/jax_comp") -> None:
 
     # Attention micro-modes (ops/flash_attention.py trace-time flags): env
     # opt-ins so recipes and bench tools can flip them without code edits.
-    if os.environ.get("UVIT_ATTN_BOUNDED_SCORES", "") == "1":
-        import jax.numpy as jnp  # noqa: F401
-        from uncertainty_vit_tpu.ops import flash_attention as _FA
-
-        _FA.BOUNDED_SCORES = True
-    if os.environ.get("UVIT_ATTN_LSE_BF16", "") == "1":
+    if os.environ.get("UVIT_ATTN_BOUNDED_SCORES", "") == "1" or os.environ.get(
+        "UVIT_ATTN_LSE_BF16", ""
+    ) == "1":
         import jax.numpy as jnp
         from uncertainty_vit_tpu.ops import flash_attention as _FA
 
-        _FA.LSE_DTYPE = jnp.bfloat16
+        if os.environ.get("UVIT_ATTN_BOUNDED_SCORES", "") == "1":
+            _FA.BOUNDED_SCORES = True
+        if os.environ.get("UVIT_ATTN_LSE_BF16", "") == "1":
+            _FA.LSE_DTYPE = jnp.bfloat16

@@ -429,7 +429,19 @@ def main(args):
         print(f"linear probe: trainable params = {trainable}", flush=True)
         tx = freeze_all_except(tx, params, trainable)
 
-    mixup_active = args.mixup > 0 or args.cutmix > 0
+    mixup_active = B.mixup_active(args)
+    # one augmentation closure for every train path (fused step + triplet):
+    # a future aug knob threads through exactly one call site
+    _aa = _aa_kwargs(args)
+
+    def aug_batch(k, imgs, vhw=None):
+        return finetune_train_augment_batch(
+            k, imgs, args.input_size, args.color_jitter, args.reprob,
+            args.imagenet_default_mean_and_std, valid_hw=vhw,
+            interpolation=B.interp_method(args.train_interpolation),
+            re_mode=args.remode, re_count=args.recount, **_aa,
+        )
+
     if args.stochastic:
         hp = DistFinetuneHParams(
             num_classes=nb_classes, mixup_active=mixup_active,
@@ -463,18 +475,8 @@ def main(args):
         # fuse the augmentation program into the train-step jit: uint8 host
         # batches go straight into ONE dispatch per step (VERDICT item:
         # the serialized aug→step split cost ~17% sustained throughput)
-        _aa = _aa_kwargs(args)
-
-        def fused_aug(k, imgs, vhw):
-            return finetune_train_augment_batch(
-                k, imgs, args.input_size, args.color_jitter, args.reprob,
-                args.imagenet_default_mean_and_std, valid_hw=vhw,
-                interpolation=B.interp_method(args.train_interpolation),
-                re_mode=args.remode, re_count=args.recount, **_aa,
-            )
-
         train_step = make_finetune_train_step(
-            model, tx, hp, lr_schedule, aug_fn=fused_aug
+            model, tx, hp, lr_schedule, aug_fn=aug_batch
         )
 
     start_epoch = args.start_epoch
@@ -536,20 +538,13 @@ def main(args):
             tb.update(head="loss", loss=loss)
             tb.set_step()
 
-        aa_kw = _aa_kwargs(args)
         for step, batch in enumerate(logger.log_every(device_prefetch(train_loader), 10, f"Epoch: [{epoch}]")):
             if step >= steps_per_epoch:
                 break
             if triplet:
                 akey = jax.random.fold_in(data_rng, step)
                 img_u8, pos_u8, neg_u8, labels = batch
-                img = finetune_train_augment_batch(
-                    akey, jnp.asarray(img_u8), args.input_size,
-                    args.color_jitter, args.reprob,
-                    args.imagenet_default_mean_and_std,
-                    interpolation=B.interp_method(args.train_interpolation),
-                    re_mode=args.remode, re_count=args.recount, **aa_kw,
-                )
+                img = aug_batch(akey, jnp.asarray(img_u8))
                 pos = next(_eval_batches([(pos_u8, labels)], args))[0]
                 neg = next(_eval_batches([(neg_u8, labels)], args))[0]
                 state, metrics = train_step(state, img, pos, neg, jnp.asarray(labels), rng)

@@ -54,8 +54,9 @@ INTERPRET = False
 BOUNDED_SCORES = False
 # LSE_DTYPE = jnp.bfloat16 halves the lse store (fwd) and read (bwd)
 # bandwidth. The backward rebuilds p = exp(s − lse), so a quantized lse
-# scales each probability ROW by exp(δ), |δ| ≈ lse·2⁻⁹ — a ≤~3% per-row
-# grad scale at typical lse magnitudes. Opt-in for the same reason.
+# scales each probability ROW by exp(δ), |δ| ≤ lse·2⁻⁹ (bf16 half-ULP) —
+# ≤~2% per-row grad scale at typical lse ≈ 3–10 (tests gate at 2%).
+# Opt-in for the same reason.
 LSE_DTYPE = jnp.float32
 # VMEM budget per program for the bias block + live score/prob tiles; the
 # chip has ~16MB of VMEM and Mosaic double-buffers blocks.
