@@ -73,8 +73,14 @@ def get_args_parser():
                    help="drop norm/fc_norm from the imported checkpoint "
                         "(run_class_finetuning.py:413-417)")
     g.add_argument("--laplace", action="store_true",
-                   help="dead in the reference (import commented out, "
-                        "run_class_finetuning.py:40); errors explicitly")
+                   help="last-layer KFAC Laplace on the linear head, fit on "
+                        "the train split with marginal-likelihood prior "
+                        "tuning (the reference's intended dispatch, "
+                        "run_class_finetuning.py:651-656, is dead there — "
+                        "its laplace import is commented out at :40; this "
+                        "is a native implementation, evals/laplace.py)")
+    g.add_argument("--laplace_link", choices=["probit", "mc"], default="probit",
+                   help="Laplace predictive link approximation")
     g.add_argument("--lambda_finetuning", type=float, default=1e-4)
     g.add_argument("--lambda_pvn", type=float, default=1e-4)
     e = p.add_argument_group("evaluation")
@@ -258,6 +264,12 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
     batches = lambda: _eval_batches(val_loader, args)
     crop_pct = args.crop_pct or (224 / 256 if args.input_size < 384 else 1.0)
 
+    if args.laplace and (args.corrupted_data or args.perturbed_data):
+        raise ValueError(
+            "--laplace supports the clean eval path only (the reference's "
+            "own -C/-P laplace combination is dead code there)"
+        )
+
     if args.corrupted_data:
         if args.stochastic:
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
@@ -371,6 +383,34 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
             jnp.asarray(np.concatenate(logits_all)), jnp.asarray(np.concatenate(labels_all))
         )
         results["dist_eval"] = {k: float(v) for k, v in out.items()}
+    elif args.laplace:
+        # reference dispatch order: mc_dropout exits before the laplace fit
+        # and ensembles/stochastic shadow it (run_class_finetuning.py:
+        # 640-674), so those branches win above — matching precedence.
+        from uncertainty_vit_tpu.evals import laplace as L
+
+        if model.cfg.head_type != "linear":
+            raise ValueError(
+                "--laplace needs the linear head (last-layer Laplace); "
+                f"head_type={model.cfg.head_type!r} is itself an "
+                "uncertainty method"
+            )
+        # fit on the train split through the EVAL transform (GGN at the MAP
+        # wants clean inputs); letterbox decode is a train-augmentation
+        # concern, so strip it for the fit loader
+        fit_args = argparse.Namespace(**{**vars(args), "decode_letterbox": False})
+        fit_loader, _ = B.build_loaders(fit_args, is_train=True)
+        ffwd = L.make_feature_forward(model, variables)
+        la = L.fit_last_layer_laplace(
+            ffwd, variables["params"]["head"], _eval_batches(fit_loader, args)
+        )
+        la = L.optimize_prior_precision(la)
+        print(f"laplace: fit on {la.n} samples, "
+              f"prior precision {la.prior_precision:g}", flush=True)
+        results["laplace"] = L.evaluate_laplace(
+            la, ffwd, batches(), link=args.laplace_link,
+            rng=jax.random.PRNGKey(args.seed),
+        )
     else:
         results["eval"] = E.evaluate(model, variables, batches(),
                                      het=args.het_layer)
@@ -381,11 +421,6 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
 def main(args):
     setup_jax()
     B.validate_aug_args(args)
-    if getattr(args, "laplace", False):
-        raise ValueError(
-            "--laplace is dead code in the reference (its import is "
-            "commented out, run_class_finetuning.py:40) and not carried"
-        )
     print(f"devices: {jax.devices()}", flush=True)
     triplet = args.stochastic and not args.eval
 

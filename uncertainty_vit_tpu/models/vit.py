@@ -195,10 +195,12 @@ class VisionTransformer(nn.Module):
         return_gp_cov: bool = False,
         mc_samples: int = 0,
         mc_split: int = 0,
+        return_features: bool = False,
     ):
         cfg = self.cfg
         if mc_samples > 0:
             assert not cfg.learn_layer_weights, "mc split incompatible with layer weights"
+            assert not return_features, "return_features incompatible with mc_samples"
         x, layer_xs, _ = ViTBackbone(
             cfg=cfg,
             has_mask_token=cfg.has_masking,
@@ -212,6 +214,11 @@ class VisionTransformer(nn.Module):
 
         feat = self._pool(x, layer_xs, deterministic, update_sngp_cov)
         out = self._head(feat, update_sngp_cov, return_gp_cov)
+        if return_features:
+            # (logits, head-input feature) — the last-layer Laplace fit
+            # needs the pooled feature the linear head consumes
+            # (evals/laplace.py)
+            return out, feat
         if mc_samples > 0:
             b = images.shape[0]
             out = jax.tree_util.tree_map(
