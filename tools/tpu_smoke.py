@@ -316,6 +316,55 @@ def smoke_ensemble():
     sync(ensemble_mean_logits(fwd(stacked, x)))
 
 
+@case("attention micro-modes train step (bounded scores + bf16 lse)")
+def smoke_micromodes():
+    from uncertainty_vit_tpu.models.vit import VisionTransformer
+    from uncertainty_vit_tpu.ops import flash_attention as FA
+    from uncertainty_vit_tpu.train import schedules
+    from uncertainty_vit_tpu.train.engine_finetune import (
+        FinetuneHParams, FinetuneState, make_finetune_train_step,
+    )
+    from uncertainty_vit_tpu.train.optim import make_optimizer
+
+    FA.BOUNDED_SCORES, FA.LSE_DTYPE = True, jnp.bfloat16
+    try:
+        cfg = get_preset("beit_base_patch16_224", use_shared_rel_pos_bias=True,
+                         drop_path_rate=0.1, init_values=0.1)
+        model = VisionTransformer(cfg=cfg, dtype=jnp.bfloat16)
+        x = images()
+        labels = jax.random.randint(jax.random.PRNGKey(2), (B,), 0, cfg.num_classes)
+        lr = schedules.cosine_schedule(4e-3, 1e-6, 1000, warmup_steps=10)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+        tx = make_optimizer(params, lr, weight_decay=0.05, layer_decay=0.65)
+        state = FinetuneState(params=params, opt_state=tx.init(params),
+                              step=jnp.zeros([], jnp.int32))
+        step = make_finetune_train_step(model, tx, FinetuneHParams(
+            num_classes=cfg.num_classes, num_patches=cfg.num_patches), lr)
+        state, m = step(state, x, labels, jax.random.PRNGKey(3))
+        sync(m["loss"])
+    finally:
+        FA.BOUNDED_SCORES, FA.LSE_DTYPE = False, jnp.float32
+
+
+@case("laplace last-layer fit + predictive")
+def smoke_laplace():
+    from uncertainty_vit_tpu.evals import laplace as L
+    from uncertainty_vit_tpu.models.vit import VisionTransformer
+
+    cfg = get_preset("beit_base_patch16_224", use_shared_rel_pos_bias=True)
+    model = VisionTransformer(cfg=cfg, dtype=jnp.bfloat16)
+    x = images(b=8)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, cfg.num_classes)
+    variables = {"params": jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]}
+    ffwd = L.make_feature_forward(model, variables)
+    la = L.fit_last_layer_laplace(
+        ffwd, variables["params"]["head"], [(x, labels)]
+    )
+    la = L.optimize_prior_precision(la)
+    out = L.evaluate_laplace(la, ffwd, [(x, labels)])
+    assert all(map(lambda v: v == v, out.values()))  # finite
+
+
 if __name__ == "__main__":
     # optional substring filters: `python tools/tpu_smoke.py cyclical dist`
     only = [a.lower() for a in sys.argv[1:]]
