@@ -107,6 +107,27 @@ def test_cli_finetune_eval_mc_dropout(cifar_root, tmp_path):
     assert "mc_dropout" in results and np.isfinite(results["mc_dropout"]["nll"])
 
 
+def test_cli_finetune_eval_laplace(cifar_root, tmp_path):
+    """--laplace end-to-end: fit loader built from the train split, KFAC
+    factors fit, prior tuned by marglik, probit predictive evaluated
+    (the reference's intended-but-dead dispatch,
+    run_class_finetuning.py:651-656)."""
+    out = str(tmp_path / "la")
+    args = FT.get_args_parser().parse_args(
+        common_flags(cifar_root, out, ("--eval", "--laplace")))
+    results = FT.main(args)
+    assert "laplace" in results
+    r = results["laplace"]
+    assert 0.0 <= r["acc1"] <= 100.0 and np.isfinite(r["nll"])
+    assert r["prior_precision"] > 0
+    # the -C/-P combination is an explicit error, not a silent skip
+    args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, (
+        "--eval", "--laplace", "--corrupted_data",
+    )))
+    with pytest.raises(ValueError, match="laplace"):
+        FT.main(args)
+
+
 def test_cli_pretrain_beit(cifar_root, tmp_path):
     out = str(tmp_path / "beit")
     args = PB.get_args_parser().parse_args(common_flags(cifar_root, out, (
