@@ -492,7 +492,7 @@ def test_schedule_horizon_with_update_freq():
 
 @pytest.mark.parametrize("opt", [
     "nadam", "radam", "adadelta", "novograd", "rmsproptf", "lamb", "lars",
-    "momentum", "fusedadamw", "lookahead_adamw",
+    "momentum", "fusedadamw", "lookahead_adamw", "adamp", "sgdp",
 ])
 def test_optimizer_tail_minimizes_quadratic(opt):
     """The reference's create_optimizer tail (optim_factory.py:100-182):

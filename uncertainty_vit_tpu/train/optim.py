@@ -112,6 +112,162 @@ def add_scheduled_decayed_weights(
     return optax.GradientTransformation(init, update)
 
 
+def _adamp_projection(p, grad, perturb, delta: float, wd_ratio: float, eps: float):
+    """timm.optim.adamp/sgdp `_projection`: for ≥2-D params whose gradient is
+    (nearly) orthogonal to the weight — the scale-invariant case created by a
+    following normalization layer — remove the radial component of the
+    update and shrink the effective weight decay to wd_ratio. The torch code
+    tries the channel view first and only falls through to the layer view
+    (Heo et al., AdamP; clovaai/adamp). Data-dependent branch → jnp.where
+    over both candidate projections."""
+    if p.ndim <= 1:
+        return perturb, jnp.asarray(1.0, jnp.float32)
+
+    def cond_and_proj(channel: bool):
+        shape = (p.shape[0], -1) if channel else (1, -1)
+        pv = p.reshape(shape)
+        gv = grad.reshape(shape)
+        pn = jnp.linalg.norm(pv, axis=1)
+        gn = jnp.linalg.norm(gv, axis=1)
+        # F.cosine_similarity(x, y, dim=1, eps).abs(): eps clamps the norms
+        cos = jnp.abs((pv * gv).sum(axis=1)) / (
+            jnp.maximum(pn, eps) * jnp.maximum(gn, eps)
+        )
+        cond = cos.max() < delta / (pv.shape[1] ** 0.5)
+        expand = ((-1,) if channel else (1,)) + (1,) * (p.ndim - 1)
+        p_n = p / (pn.reshape(expand) + eps)
+        dot = (p_n * perturb).reshape(shape).sum(axis=1).reshape(expand)
+        return cond, perturb - p_n * dot
+
+    c_cond, c_proj = cond_and_proj(True)
+    l_cond, l_proj = cond_and_proj(False)
+    out = jnp.where(c_cond, c_proj, jnp.where(l_cond, l_proj, perturb))
+    wd = jnp.where(c_cond | l_cond, wd_ratio, 1.0)
+    return out, wd
+
+
+class AdamPState(NamedTuple):
+    count: jnp.ndarray
+    mu: Any
+    nu: Any
+
+
+def scale_by_adamp(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    delta: float = 0.1,
+    wd_ratio: float = 0.01,
+    nesterov: bool = True,
+    wd_schedule: Optional[Callable] = None,
+    wd_mask: Any = None,
+) -> optax.GradientTransformation:
+    """timm AdamP (optim_factory.py:139-140: wd_ratio=0.01, nesterov=True).
+
+    Emits perturb/bias_correction1 + wd·wd_ratio·p so the chain's final −lr
+    scaling reproduces torch's `p.mul_(1 − lr·wd·ratio); p.add_(perturb,
+    alpha=−lr/bc1)` exactly. Weight decay lives INSIDE the transform because
+    its effective coefficient is data-dependent (shrunk to wd_ratio whenever
+    the projection fires)."""
+
+    def init(params):
+        z = lambda t: jnp.zeros_like(t, jnp.float32)
+        return AdamPState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(z, params),
+            nu=jax.tree_util.tree_map(z, params),
+        )
+
+    def update(updates, state, params):
+        count = state.count + 1
+        bc1 = 1.0 - b1 ** count.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** count.astype(jnp.float32)
+        wd = wd_schedule(state.count) if wd_schedule is not None else None
+
+        def one(g, m, v, p, decayed):
+            g = g.astype(jnp.float32)
+            p32 = p.astype(jnp.float32)
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            denom = jnp.sqrt(v / bc2) + eps
+            perturb = ((b1 * m + (1.0 - b1) * g) if nesterov else m) / denom
+            perturb, ratio = _adamp_projection(p32, g, perturb, delta, wd_ratio, eps)
+            out = perturb / bc1
+            if wd is not None and decayed:
+                out = out + wd * ratio * p32
+            return out, m, v
+
+        mask = wd_mask if wd_mask is not None else jax.tree_util.tree_map(
+            lambda _: False, updates
+        )
+        trip = jax.tree_util.tree_map(
+            one, updates, state.mu, state.nu, params, mask,
+            is_leaf=lambda x: isinstance(x, jnp.ndarray),
+        )
+        outs = jax.tree_util.tree_map(lambda t: t[0], trip, is_leaf=lambda x: isinstance(x, tuple))
+        mu = jax.tree_util.tree_map(lambda t: t[1], trip, is_leaf=lambda x: isinstance(x, tuple))
+        nu = jax.tree_util.tree_map(lambda t: t[2], trip, is_leaf=lambda x: isinstance(x, tuple))
+        return outs, AdamPState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+class SGDPState(NamedTuple):
+    count: jnp.ndarray
+    buf: Any
+
+
+def scale_by_sgdp(
+    momentum: float = 0.9,
+    dampening: float = 0.0,
+    nesterov: bool = True,
+    eps: float = 1e-8,
+    delta: float = 0.1,
+    wd_ratio: float = 0.1,
+    wd_schedule: Optional[Callable] = None,
+    wd_mask: Any = None,
+) -> optax.GradientTransformation:
+    """timm SGDP (optim_factory.py:141-142: momentum=args.momentum,
+    nesterov=True; package defaults wd_ratio=0.1, delta=0.1). Torch applies
+    `p.mul_(1 − lr·wd·ratio/(1−momentum))` — note the 1/(1−momentum)
+    rescale — then `p.add_(d_p, alpha=−lr)`."""
+
+    def init(params):
+        return SGDPState(
+            count=jnp.zeros([], jnp.int32),
+            buf=jax.tree_util.tree_map(
+                lambda t: jnp.zeros_like(t, jnp.float32), params
+            ),
+        )
+
+    def update(updates, state, params):
+        wd = wd_schedule(state.count) if wd_schedule is not None else None
+
+        def one(g, buf, p, decayed):
+            g = g.astype(jnp.float32)
+            p32 = p.astype(jnp.float32)
+            buf = momentum * buf + (1.0 - dampening) * g
+            d_p = (g + momentum * buf) if nesterov else buf
+            d_p, ratio = _adamp_projection(p32, g, d_p, delta, wd_ratio, eps)
+            out = d_p
+            if wd is not None and decayed:
+                out = out + wd * ratio * p32 / (1.0 - momentum)
+            return out, buf
+
+        mask = wd_mask if wd_mask is not None else jax.tree_util.tree_map(
+            lambda _: False, updates
+        )
+        trip = jax.tree_util.tree_map(
+            one, updates, state.buf, params, mask,
+            is_leaf=lambda x: isinstance(x, jnp.ndarray),
+        )
+        outs = jax.tree_util.tree_map(lambda t: t[0], trip, is_leaf=lambda x: isinstance(x, tuple))
+        buf = jax.tree_util.tree_map(lambda t: t[1], trip, is_leaf=lambda x: isinstance(x, tuple))
+        return outs, SGDPState(count=state.count + 1, buf=buf)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     params: Any,
     lr_schedule: Callable,
@@ -140,7 +296,8 @@ def make_optimizer(
     # The reference's create_optimizer tail (optim_factory.py:100-182). The
     # apex fused variants are CUDA kernels — on TPU every optimizer below is
     # XLA-fused automatically, so `fused*` names map to their plain
-    # counterparts. sgdp/adamp/adahessian have no optax equivalent and error
+    # counterparts. sgdp/adamp are custom transforms below (torch-parity
+    # tested); adahessian (Hessian-diagonal) has no equivalent and errors
     # explicitly rather than silently falling back.
     opt_name = opt_name.replace("fused", "") or "adamw"
     lookahead = opt_name.startswith("lookahead_")
@@ -183,6 +340,26 @@ def make_optimizer(
         post_wd.append(optax.trace(decay=momentum, nesterov=False))
     elif opt_name == "adafactor":
         chain.append(optax.scale_by_factored_rms())
+    elif opt_name in ("adamp", "sgdp"):
+        # projection optimizers (optim_factory.py:139-142): weight decay is
+        # handled INSIDE the transform — its coefficient is data-dependent
+        # (shrunk by wd_ratio when the scale-invariant projection fires)
+        wd_mask = weight_decay_mask(params, skip_names) if weight_decay else None
+        sched = (
+            (wd_schedule or (lambda s: jnp.full((), weight_decay, jnp.float32)))
+            if weight_decay else None
+        )
+        if opt_name == "adamp":
+            chain.append(scale_by_adamp(
+                b1=betas[0], b2=betas[1], eps=eps, wd_ratio=0.01,
+                nesterov=True, wd_schedule=sched, wd_mask=wd_mask,
+            ))
+        else:
+            chain.append(scale_by_sgdp(
+                momentum=momentum, nesterov=True, wd_schedule=sched,
+                wd_mask=wd_mask,
+            ))
+        weight_decay = 0.0  # consumed above; skip the generic wd transform
     else:
         raise ValueError(
             f"optimizer '{opt_name}' is not supported on the TPU build "
