@@ -120,12 +120,14 @@ def test_cli_finetune_eval_laplace(cifar_root, tmp_path):
     r = results["laplace"]
     assert 0.0 <= r["acc1"] <= 100.0 and np.isfinite(r["nll"])
     assert r["prior_precision"] > 0
-    # the -C/-P combination is an explicit error, not a silent skip
-    args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, (
-        "--eval", "--laplace", "--corrupted_data",
-    )))
-    with pytest.raises(ValueError, match="laplace"):
-        FT.main(args)
+    # any combination with another uncertainty dispatch is an explicit
+    # error, not a silent drop of either flag
+    for combo in (("--corrupted_data",), ("--mc_dropout",)):
+        args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, (
+            "--eval", "--laplace", *combo,
+        )))
+        with pytest.raises(ValueError, match="laplace"):
+            FT.main(args)
 
 
 def test_cli_pretrain_beit(cifar_root, tmp_path):

@@ -212,3 +212,20 @@ def test_make_optimizer_wires_adamp_sgdp():
         upd, _ = tx.update(g, state, params)
         assert all(np.isfinite(np.asarray(l)).all()
                    for l in jax.tree_util.tree_leaves(upd))
+
+
+def test_make_optimizer_default_wd_actually_decays():
+    """Regression: the factory's fallback wd schedule captured the local
+    `weight_decay` AFTER it was rebound to 0.0 (late-binding closure) — wd
+    silently became zero on the default CLI path (no --weight_decay_end).
+    Zero grads isolate the decay term: update must be ≈ wd·p, not 0."""
+    params = {"w": jnp.full((2, 3), 2.0)}
+    zeros = {"w": jnp.zeros((2, 3))}
+    for name in ("adamp", "sgdp"):
+        tx = make_optimizer(params, lambda s: 0.1, weight_decay=0.05,
+                            opt_name=name)
+        state = tx.init(params)
+        upd, _ = tx.update(zeros, state, params)
+        # chain ends with -lr scaling: update = -lr·wd·(ratio)·p ≠ 0
+        mag = float(jnp.abs(upd["w"]).max())
+        assert mag > 1e-5, (name, mag)

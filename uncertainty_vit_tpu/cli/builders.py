@@ -301,7 +301,9 @@ def build_optimizer(args, params, lr_schedule, wd_schedule, depth: int):
 
 
 def build_loaders(
-    args, is_train: bool, triplet: bool = False, letterbox_ok: bool = False
+    args, is_train: bool, triplet: bool = False, letterbox_ok: bool = False,
+    pad_shards: bool | None = None, shuffle: bool | None = None,
+    drop_last: bool | None = None,
 ) -> Tuple[BatchLoader, int]:
     """letterbox_ok: only callers whose augmentation path consumes the
     per-sample valid_hw column may enable --decode_letterbox (the
@@ -331,9 +333,12 @@ def build_loaders(
         seed=args.seed,
     )
     loader = BatchLoader(
-        dataset, args.batch_size, shuffle=is_train, seed=args.seed,
-        drop_last=is_train, num_workers=args.num_workers,
+        dataset, args.batch_size,
+        shuffle=is_train if shuffle is None else shuffle, seed=args.seed,
+        drop_last=is_train if drop_last is None else drop_last,
+        num_workers=args.num_workers,
         host_id=jax.process_index(), num_hosts=jax.process_count(),
+        pad_shards=pad_shards,
     )
     return loader, nb_classes
 

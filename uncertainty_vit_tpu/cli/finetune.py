@@ -264,10 +264,17 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
     batches = lambda: _eval_batches(val_loader, args)
     crop_pct = args.crop_pct or (224 / 256 if args.input_size < 384 else 1.0)
 
-    if args.laplace and (args.corrupted_data or args.perturbed_data):
+    if args.laplace and (
+        args.corrupted_data or args.perturbed_data or args.ensembles
+        or args.stochastic or args.mc_dropout
+    ):
+        # the reference fits laplace BEFORE the ensembles/stochastic
+        # dispatch (run_class_finetuning.py:651-674; only mc_dropout exits
+        # first), but its whole laplace path is dead code there — error
+        # explicitly rather than silently dropping either flag
         raise ValueError(
             "--laplace supports the clean eval path only (the reference's "
-            "own -C/-P laplace combination is dead code there)"
+            "laplace combinations are dead code there)"
         )
 
     if args.corrupted_data:
@@ -384,9 +391,8 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
         )
         results["dist_eval"] = {k: float(v) for k, v in out.items()}
     elif args.laplace:
-        # reference dispatch order: mc_dropout exits before the laplace fit
-        # and ensembles/stochastic shadow it (run_class_finetuning.py:
-        # 640-674), so those branches win above — matching precedence.
+        # combinations with mc/ensembles/stochastic/-C/-P error up front
+        # (top of this function) — the clean path is the one carried
         from uncertainty_vit_tpu.evals import laplace as L
 
         if model.cfg.head_type != "linear":
@@ -395,11 +401,16 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
                 f"head_type={model.cfg.head_type!r} is itself an "
                 "uncertainty method"
             )
-        # fit on the train split through the EVAL transform (GGN at the MAP
-        # wants clean inputs); letterbox decode is a train-augmentation
+        # fit on the FULL train split through the EVAL transform (GGN at the
+        # MAP wants clean inputs): no shuffle, no tail drop, UNPADDED host
+        # shards (padding would double-count samples in the multi-host
+        # factor reduction); letterbox decode is a train-augmentation
         # concern, so strip it for the fit loader
         fit_args = argparse.Namespace(**{**vars(args), "decode_letterbox": False})
-        fit_loader, _ = B.build_loaders(fit_args, is_train=True)
+        fit_loader, _ = B.build_loaders(
+            fit_args, is_train=True, shuffle=False, drop_last=False,
+            pad_shards=False,
+        )
         ffwd = L.make_feature_forward(model, variables)
         la = L.fit_last_layer_laplace(
             ffwd, variables["params"]["head"], _eval_batches(fit_loader, args)

@@ -114,6 +114,21 @@ def fit_last_layer_laplace(
         n += int(np.asarray(labels).shape[0])
     if n == 0:
         raise ValueError("laplace fit got an empty loader")
+    if jax.process_count() > 1:
+        # multi-host: each host streamed its own train shard — reduce the
+        # factor sums so every host fits the SAME posterior (the reference
+        # fits on the full loader in one process). Feed an UNPADDED shard
+        # loader (BatchLoader pad_shards=False) or the wrap padding
+        # double-counts up to num_hosts-1 samples.
+        from jax.experimental import multihost_utils as mhu
+
+        a_sum, g_sum, loglik, n_arr = jax.tree_util.tree_map(
+            lambda x: x.sum(axis=0),
+            mhu.process_allgather(
+                (a_sum, g_sum, loglik, jnp.asarray(n, jnp.int64))
+            ),
+        )
+        n = int(n_arr)
     a, q_a = jnp.linalg.eigh(a_sum)
     g, q_g = jnp.linalg.eigh(g_sum)
     theta_sqnorm = float(

@@ -345,8 +345,11 @@ def make_optimizer(
         # handled INSIDE the transform — its coefficient is data-dependent
         # (shrunk by wd_ratio when the scale-invariant projection fires)
         wd_mask = weight_decay_mask(params, skip_names) if weight_decay else None
+        # bind weight_decay NOW (default arg): the local is rebound to 0.0
+        # below, and a late-binding closure would silently zero the decay
         sched = (
-            (wd_schedule or (lambda s: jnp.full((), weight_decay, jnp.float32)))
+            (wd_schedule
+             or (lambda s, _wd=weight_decay: jnp.full((), _wd, jnp.float32)))
             if weight_decay else None
         )
         if opt_name == "adamp":
