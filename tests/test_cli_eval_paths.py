@@ -123,6 +123,22 @@ def test_distributed_helpers():
     assert save_on_master(lambda: 42) == 42
 
 
+def test_cli_eval_corrupted_laplace(cifar_root, tmp_path, monkeypatch):
+    """-C under the Laplace GLM predictive: the posterior fits on the train
+    split, then evaluate_corruption runs argmax over calibrated log-probs
+    (beyond-reference composition — the reference's laplace path is dead)."""
+    import uncertainty_vit_tpu.evals.robustness as R
+
+    monkeypatch.setattr(R, "DISTORTIONS", ("fog",))
+    args = FT.get_args_parser().parse_args(flags(cifar_root, str(tmp_path / "cla"), (
+        "--eval", "--corrupted_data", "--laplace",
+        "--corruption_data_path", os.path.join(cifar_root, "cifar-100-c"),
+    )))
+    results = FT.main(args)
+    assert "fog" in results["corruption"]["per_distortion"]
+    assert 0.0 <= results["corruption"]["mce_unnormalized"] <= 1.0
+
+
 def test_cli_eval_corrupted_mc_dropout(cifar_root, tmp_path, monkeypatch):
     """mc_dropout_c_evaluate wiring (uncertainty_evaluations.py:479-534);
     the MC model must be rebuilt with drop_path_rate=0."""

@@ -120,9 +120,10 @@ def test_cli_finetune_eval_laplace(cifar_root, tmp_path):
     r = results["laplace"]
     assert 0.0 <= r["acc1"] <= 100.0 and np.isfinite(r["nll"])
     assert r["prior_precision"] > 0
-    # any combination with another uncertainty dispatch is an explicit
-    # error, not a silent drop of either flag
-    for combo in (("--corrupted_data",), ("--mc_dropout",)):
+    # combinations with another uncertainty dispatch error explicitly
+    # rather than silently dropping a flag (-C is the composable exception,
+    # tested in test_cli_eval_paths.test_cli_eval_corrupted_laplace)
+    for combo in (("--perturbed_data",), ("--mc_dropout",)):
         args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, (
             "--eval", "--laplace", *combo,
         )))

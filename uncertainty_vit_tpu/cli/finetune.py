@@ -258,6 +258,48 @@ def _default_eval_forward(args, model, variables):
     return jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
 
 
+def _fit_laplace(args, model, variables):
+    """Fit the last-layer KFAC Laplace posterior on the train split
+    (evals/laplace.py; the reference's intended-but-dead dispatch,
+    run_class_finetuning.py:651-656). Returns (posterior, jitted
+    (images)→(logits, feats) forward, jitted (logits, feats)→log-probs
+    predictive)."""
+    from uncertainty_vit_tpu.evals import laplace as L
+
+    if model.cfg.head_type != "linear":
+        raise ValueError(
+            "--laplace needs the linear head (last-layer Laplace); "
+            f"head_type={model.cfg.head_type!r} is itself an "
+            "uncertainty method"
+        )
+    # fit on the FULL train split through the EVAL transform (GGN at the
+    # MAP wants clean inputs): no shuffle, no tail drop, UNPADDED host
+    # shards (padding would double-count samples in the multi-host factor
+    # reduction); letterbox decode is a train-augmentation concern, so
+    # strip it for the fit loader
+    fit_args = argparse.Namespace(**{**vars(args), "decode_letterbox": False})
+    fit_loader, _ = B.build_loaders(
+        fit_args, is_train=True, shuffle=False, drop_last=False,
+        pad_shards=False,
+    )
+    ffwd = L.make_feature_forward(model, variables)
+    la = L.fit_last_layer_laplace(
+        ffwd, variables["params"]["head"], _eval_batches(fit_loader, args)
+    )
+    la = L.optimize_prior_precision(la)
+    print(f"laplace: fit on {la.n} samples, "
+          f"prior precision {la.prior_precision:g}", flush=True)
+    rng0 = jax.random.PRNGKey(args.seed)
+    counter = iter(range(1 << 30))
+    jpred = jax.jit(
+        lambda lg, ft, key: L.predictive_log_probs(
+            la, lg, ft, link=args.laplace_link, rng=key
+        )
+    )
+    pred = lambda lg, ft: jpred(lg, ft, jax.random.fold_in(rng0, next(counter)))
+    return la, ffwd, pred
+
+
 def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
     """--eval dispatch (run_class_finetuning.py:638-677)."""
     results = {}
@@ -265,16 +307,17 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
     crop_pct = args.crop_pct or (224 / 256 if args.input_size < 384 else 1.0)
 
     if args.laplace and (
-        args.corrupted_data or args.perturbed_data or args.ensembles
-        or args.stochastic or args.mc_dropout
+        args.perturbed_data or args.ensembles or args.stochastic
+        or args.mc_dropout
     ):
-        # the reference fits laplace BEFORE the ensembles/stochastic
-        # dispatch (run_class_finetuning.py:651-674; only mc_dropout exits
-        # first), but its whole laplace path is dead code there — error
-        # explicitly rather than silently dropping either flag
+        # laplace composes with the clean and -C evals (the corruption path
+        # uses argmax over the calibrated predictive); combining with the
+        # OTHER uncertainty dispatches would silently drop one of the two
+        # flags, so those error explicitly (the reference's own laplace
+        # path is dead code, run_class_finetuning.py:40,651-656)
         raise ValueError(
-            "--laplace supports the clean eval path only (the reference's "
-            "laplace combinations are dead code there)"
+            "--laplace composes with the clean eval and --corrupted_data "
+            "only; mc/ensembles/stochastic/-P combinations are not carried"
         )
 
     if args.corrupted_data:
@@ -282,6 +325,11 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
             fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
         elif args.mc_dropout:
             fwd = _mc_mean_forward(args, model, variables)
+        elif args.laplace:
+            # corruption eval under the Laplace GLM predictive: log-probs
+            # are valid "logits" for the accuracy/CE metrics
+            la, ffwd, pred = _fit_laplace(args, model, variables)
+            fwd = lambda imgs: pred(*ffwd(imgs))
         elif args.ensembles:
             # ensembles_c_evaluate (uncertainty_evaluations.py:393-476):
             # mean member logits per corrupted batch
@@ -391,33 +439,10 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
         )
         results["dist_eval"] = {k: float(v) for k, v in out.items()}
     elif args.laplace:
-        # combinations with mc/ensembles/stochastic/-C/-P error up front
-        # (top of this function) — the clean path is the one carried
+        # combinations other than -C error up front (top of this function)
         from uncertainty_vit_tpu.evals import laplace as L
 
-        if model.cfg.head_type != "linear":
-            raise ValueError(
-                "--laplace needs the linear head (last-layer Laplace); "
-                f"head_type={model.cfg.head_type!r} is itself an "
-                "uncertainty method"
-            )
-        # fit on the FULL train split through the EVAL transform (GGN at the
-        # MAP wants clean inputs): no shuffle, no tail drop, UNPADDED host
-        # shards (padding would double-count samples in the multi-host
-        # factor reduction); letterbox decode is a train-augmentation
-        # concern, so strip it for the fit loader
-        fit_args = argparse.Namespace(**{**vars(args), "decode_letterbox": False})
-        fit_loader, _ = B.build_loaders(
-            fit_args, is_train=True, shuffle=False, drop_last=False,
-            pad_shards=False,
-        )
-        ffwd = L.make_feature_forward(model, variables)
-        la = L.fit_last_layer_laplace(
-            ffwd, variables["params"]["head"], _eval_batches(fit_loader, args)
-        )
-        la = L.optimize_prior_precision(la)
-        print(f"laplace: fit on {la.n} samples, "
-              f"prior precision {la.prior_precision:g}", flush=True)
+        la, ffwd, _ = _fit_laplace(args, model, variables)
         results["laplace"] = L.evaluate_laplace(
             la, ffwd, batches(), link=args.laplace_link,
             rng=jax.random.PRNGKey(args.seed),
