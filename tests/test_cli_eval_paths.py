@@ -378,6 +378,26 @@ def test_aug_knob_validation():
         B2.validate_aug_args(args)
 
 
+def test_aa_token_validation():
+    """_aa_kwargs rejects unknown/unsupported tokens instead of silently
+    dropping them (round-3 review: 'n3'/'p0.5' typos must error). The
+    baked-in defaults (n2, inc1) and the supported knobs parse."""
+    from uncertainty_vit_tpu.cli import finetune as FT
+
+    def kwargs(aa):
+        args = FT.get_args_parser().parse_args(["--aa", aa])
+        return FT._aa_kwargs(args)
+
+    assert kwargs("rand-m9-mstd0.5-inc1") == {
+        "auto_augment": True, "aa_magnitude": 9.0, "aa_magnitude_std": 0.5}
+    assert kwargs("rand-m7-mstd0.25-n2")["aa_magnitude"] == 7.0
+    assert kwargs("none") == {}
+    for bad in ("rand-m9-n3", "rand-p0.5", "rand-m9-inc0", "rand-w0",
+                "original", "augmix-m3"):
+        with pytest.raises(ValueError, match="aa"):
+            kwargs(bad)
+
+
 def test_cutmix_minmax_alone_activates_mixing():
     """Regression: --mixup 0 --cutmix 0 --cutmix_minmax 0.2 0.8 must still
     activate mixing (timm forces cutmix_alpha=1.0 in minmax mode; reference

@@ -110,16 +110,38 @@ def get_args_parser():
 
 
 def _aa_kwargs(args):
-    """Parse 'rand-mM-mstdS[-inc1]' (run_class_finetuning.py default aa)."""
+    """Parse 'rand-mM-mstdS[-inc1]' (run_class_finetuning.py default aa).
+
+    Unknown or unsupported tokens ERROR rather than silently dropping
+    (round-3 review: a recipe typo like 'n3' or 'p0.5' must not become a
+    silent semantic change). The on-device RandAugment bakes in timm's
+    two-round, increasing-severity (inc1) configuration, so n2/inc1 are
+    accepted as no-ops and every other timm knob is rejected."""
     aa = getattr(args, "aa", None)
     if not aa or aa in ("None", "none"):
         return {}
+    parts = aa.split("-")
+    if parts[0] != "rand":
+        raise ValueError(
+            f"--aa policy {aa!r} not supported: only timm 'rand-...' "
+            "configs map onto the on-device RandAugment "
+            "(ops/randaugment.py); 'original'/'augmix' policies are not "
+            "carried"
+        )
     mag, mstd = 9.0, 0.5
-    for part in aa.split("-"):
+    for part in parts[1:]:
         if part.startswith("mstd"):
             mstd = float(part[4:])
+        elif part in ("inc1", "n2"):
+            pass  # the baked-in defaults (increasing tables, two rounds)
         elif part.startswith("m") and part[1:].replace(".", "").isdigit():
             mag = float(part[1:])
+        else:
+            raise ValueError(
+                f"unsupported --aa token {part!r} in {aa!r}: the on-device "
+                "RandAugment supports m<mag>, mstd<std>, inc1, n2 "
+                "(two rounds and increasing severity are baked in)"
+            )
     return {"auto_augment": True, "aa_magnitude": mag, "aa_magnitude_std": mstd}
 
 
