@@ -1,0 +1,79 @@
+"""Temperature scaling (evals/calibration.py).
+
+Ground truth: logits generated as T_true · z where labels are drawn from
+softmax(z) — the NLL-optimal temperature recovers T_true (up to sampling
+noise), overconfident logits get T > 1, and scaling must strictly reduce
+NLL and ECE on the miscalibrated set.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncertainty_vit_tpu.evals import calibration as CAL
+from uncertainty_vit_tpu.evals import metrics as M
+
+
+def _make(miscal, n=4096, c=10, seed=0):
+    """Labels ~ softmax(z); observed logits = miscal · z."""
+    rng = jax.random.PRNGKey(seed)
+    rz, rl = jax.random.split(rng)
+    z = jax.random.normal(rz, (n, c)) * 2.0
+    labels = jax.random.categorical(rl, z, axis=-1)
+    return miscal * z, labels
+
+
+def test_recovers_true_temperature():
+    for t_true in (0.5, 1.0, 3.0):
+        logits, labels = _make(t_true)
+        t_fit = CAL.fit_temperature(logits, labels)
+        # NLL-optimal T on sampled labels ≈ the generating scale
+        assert abs(t_fit - t_true) / t_true < 0.15, (t_true, t_fit)
+
+
+def test_scaling_improves_nll_and_ece_when_overconfident():
+    logits, labels = _make(3.0)  # 3× overconfident
+    raw = M.classification_metrics(logits, labels)
+    t = CAL.fit_temperature(logits, labels)
+    scaled = M.classification_metrics(logits / t, labels)
+    assert t > 2.0
+    assert float(scaled["nll"]) < float(raw["nll"])
+    assert float(scaled["ece"]) < float(raw["ece"])
+    # argmax is temperature-invariant: accuracy identical
+    np.testing.assert_allclose(float(scaled["acc1"]), float(raw["acc1"]))
+
+
+def test_nll_at_fit_temperature_is_local_min():
+    logits, labels = _make(2.0, n=1024)
+    t = CAL.fit_temperature(logits, labels)
+    f = lambda tt: float(CAL.nll_at_temperature(logits, labels, tt))
+    assert f(t) <= f(t * 1.05) + 1e-6
+    assert f(t) <= f(t / 1.05) + 1e-6
+
+
+def test_evaluate_temperature_scaled_end_to_end():
+    logits, labels = _make(3.0, n=512)
+    feats = {"logits": np.asarray(logits), "labels": np.asarray(labels)}
+    batches = [
+        (feats["logits"][i : i + 128], feats["labels"][i : i + 128])
+        for i in range(0, 512, 128)
+    ]
+    out = CAL.evaluate_temperature_scaled(
+        lambda x: jnp.asarray(x), batches[:2], batches[2:]
+    )
+    assert out["temperature"] > 1.5
+    for k in ("acc1", "nll", "ece", "loss"):
+        assert np.isfinite(out[k])
+
+
+def test_cli_flag_parses_and_guards():
+    import pytest
+
+    from uncertainty_vit_tpu.cli import finetune as FT
+
+    args = FT.get_args_parser().parse_args(["--eval", "--temp_scaling"])
+    assert args.temp_scaling
+    # combination guard lives in run_eval_dispatch; parse-level both accept
+    args = FT.get_args_parser().parse_args(
+        ["--eval", "--temp_scaling", "--laplace"])
+    assert args.temp_scaling and args.laplace

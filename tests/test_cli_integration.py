@@ -131,6 +131,22 @@ def test_cli_finetune_eval_laplace(cifar_root, tmp_path):
             FT.main(args)
 
 
+def test_cli_finetune_eval_temp_scaling(cifar_root, tmp_path):
+    """--temp_scaling end-to-end: T fit on the train split, calibrated
+    metrics on the eval split; combining with --laplace errors."""
+    out = str(tmp_path / "ts")
+    args = FT.get_args_parser().parse_args(
+        common_flags(cifar_root, out, ("--eval", "--temp_scaling")))
+    results = FT.main(args)
+    r = results["temp_scaling"]
+    assert r["temperature"] > 0 and np.isfinite(r["nll"])
+    args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, (
+        "--eval", "--temp_scaling", "--laplace",
+    )))
+    with pytest.raises(ValueError, match="temp_scaling"):
+        FT.main(args)
+
+
 def test_cli_pretrain_beit(cifar_root, tmp_path):
     out = str(tmp_path / "beit")
     args = PB.get_args_parser().parse_args(common_flags(cifar_root, out, (

@@ -81,6 +81,11 @@ def get_args_parser():
                         "is a native implementation, evals/laplace.py)")
     g.add_argument("--laplace_link", choices=["probit", "mc"], default="probit",
                    help="Laplace predictive link approximation")
+    g.add_argument("--temp_scaling", action="store_true",
+                   help="post-hoc temperature scaling (Guo et al. 2017), "
+                        "fit on the train split — a calibration baseline "
+                        "the reference's metric suite measures against but "
+                        "never provides (evals/calibration.py)")
     g.add_argument("--lambda_finetuning", type=float, default=1e-4)
     g.add_argument("--lambda_pvn", type=float, default=1e-4)
     e = p.add_argument_group("evaluation")
@@ -341,6 +346,14 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
             "--laplace composes with the clean eval and --corrupted_data "
             "only; mc/ensembles/stochastic/-P combinations are not carried"
         )
+    if args.temp_scaling and (
+        args.laplace or args.corrupted_data or args.perturbed_data
+        or args.ensembles or args.stochastic or args.mc_dropout
+    ):
+        raise ValueError(
+            "--temp_scaling supports the clean eval path only (and is "
+            "itself a calibrator — combining with --laplace is ambiguous)"
+        )
 
     if args.corrupted_data:
         if args.stochastic:
@@ -469,6 +482,20 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
             la, ffwd, batches(), link=args.laplace_link,
             rng=jax.random.PRNGKey(args.seed),
         )
+    elif args.temp_scaling:
+        from uncertainty_vit_tpu.evals import calibration as CAL
+
+        fit_args = argparse.Namespace(**{**vars(args), "decode_letterbox": False})
+        fit_loader, _ = B.build_loaders(
+            fit_args, is_train=True, shuffle=False, drop_last=False,
+            pad_shards=False,
+        )
+        fwd = _default_eval_forward(args, model, variables)
+        results["temp_scaling"] = CAL.evaluate_temperature_scaled(
+            fwd, _eval_batches(fit_loader, args), batches(),
+        )
+        print(f"temperature scaling: T* = "
+              f"{results['temp_scaling']['temperature']:.4f}", flush=True)
     else:
         results["eval"] = E.evaluate(model, variables, batches(),
                                      het=args.het_layer)
