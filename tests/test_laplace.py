@@ -176,6 +176,39 @@ def test_end_to_end_on_vit():
         assert k in out and np.isfinite(out[k])
 
 
+def test_laplace_improves_calibration_when_overconfident():
+    """Efficacy: on an overconfident linear model (weights scaled 3×), the
+    probit predictive must reduce NLL and ECE versus raw softmax while
+    keeping accuracy ~unchanged (confidence shrink, not prediction flip)."""
+    from uncertainty_vit_tpu.evals import metrics as MET
+
+    rs = np.random.RandomState(7)
+    n, d, c = 512, 8, 5
+    feats = rs.randn(n, d).astype(np.float32)
+    w_true = rs.randn(d, c).astype(np.float32) * 0.4
+    z = feats @ w_true
+    labels = np.asarray(
+        jax.random.categorical(jax.random.PRNGKey(0), jnp.asarray(z), axis=-1))
+    # the deployed model is 3× overconfident
+    w, b = 3.0 * w_true, np.zeros(c, np.float32)
+    logits = feats @ w + b
+
+    def ffwd(x):
+        return jnp.asarray(x) @ w + b, jnp.asarray(x)
+
+    batches = [(feats[i:i + 128], labels[i:i + 128]) for i in range(0, n, 128)]
+    la = L.fit_last_layer_laplace(
+        ffwd, {"kernel": jnp.asarray(w), "bias": jnp.asarray(b)}, batches)
+    la = L.optimize_prior_precision(la)
+    lp = L.predictive_log_probs(la, jnp.asarray(logits), jnp.asarray(feats))
+
+    raw = MET.classification_metrics(jnp.asarray(logits), jnp.asarray(labels))
+    cal = MET.classification_metrics(lp, jnp.asarray(labels))
+    assert float(cal["nll"]) < float(raw["nll"])
+    assert float(cal["ece"]) < float(raw["ece"])
+    assert abs(float(cal["acc1"]) - float(raw["acc1"])) < 3.0
+
+
 def test_cli_accepts_laplace_flag():
     """--laplace parses and is no longer an explicit error; incompatible
     combos still raise."""
