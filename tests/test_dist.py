@@ -106,3 +106,52 @@ def test_dist_finetune_train_step():
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0], losses
     assert float(m["wasserstein_loss"]) >= 0.0
+
+
+def test_dist_finetune_step_fused_triplet_prep():
+    """Round-4 triplet loop fusion: the step takes RAW uint8 triplets; the
+    anchor aug + pos/neg eval transforms run in-graph and must reproduce
+    the split-dispatch step exactly (same draws, same math)."""
+    model = DistVisionTransformer(cfg=TINY)
+    hp = DistFinetuneHParams(num_classes=5, mixup_active=False, label_smoothing=0.0)
+    lr = schedules.constant_schedule(1e-3)
+    rs = np.random.RandomState(0)
+    img_u8 = jnp.asarray(rs.randint(0, 256, (4, 32, 32, 3), np.uint8))
+    pos_u8 = jnp.asarray(rs.randint(0, 256, (4, 32, 32, 3), np.uint8))
+    neg_u8 = jnp.asarray(rs.randint(0, 256, (4, 32, 32, 3), np.uint8))
+    labels = jnp.arange(4) % 5
+
+    from uncertainty_vit_tpu.ops.augment import (
+        IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD, normalize, to_float,
+    )
+
+    prep = lambda u8: normalize(
+        to_float(u8), IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD)
+
+    def aug(k, u8):  # deterministic "augmentation" for exact parity
+        return prep(u8)
+
+    sample = jax.random.normal(jax.random.PRNGKey(9), (4, 32, 32, 3))
+    tx = make_optimizer(
+        model.init(jax.random.PRNGKey(0), sample)["params"], lr, weight_decay=0.05
+    )
+    s0 = init_dist_finetune_state(model, tx, jax.random.PRNGKey(0), sample)
+
+    fused = make_dist_finetune_train_step(
+        model, tx, hp, lr, aug_fn=aug, prep_fn=prep)
+    split = make_dist_finetune_train_step(model, tx, hp, lr)
+
+    s_f, m_f = fused(s0, img_u8, pos_u8, neg_u8, labels, jax.random.PRNGKey(3))
+    s0b = init_dist_finetune_state(model, tx, jax.random.PRNGKey(0), sample)
+    s_s, m_s = split(
+        s0b, prep(img_u8), prep(pos_u8), prep(neg_u8), labels,
+        jax.random.PRNGKey(3),
+    )
+    np.testing.assert_allclose(
+        float(m_f["loss"]), float(m_s["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s_f.params),
+                    jax.tree_util.tree_leaves(s_s.params)):
+        # in-graph prep lets XLA fuse differently → f32 summation-order
+        # noise at the 1e-6 level; the draws/math are identical
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)

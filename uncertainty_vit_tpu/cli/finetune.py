@@ -174,27 +174,30 @@ def build_model(args, nb_classes):
     return VisionTransformer(cfg=cfg, seq_mesh=seq_mesh, dtype=dtype), cfg
 
 
+def _eval_prep(images_u8, args):
+    """On-device eval transform for one uint8 batch (shape decision is
+    static, so this is jittable and reusable inside fused train steps)."""
+    crop_pct = args.crop_pct or (224 / 256 if args.input_size < 384 else 1.0)
+    if images_u8.shape[1] != args.input_size:
+        return eval_transform_batch(
+            jnp.asarray(images_u8), args.input_size, crop_pct,
+            args.imagenet_default_mean_and_std,
+        )
+    from uncertainty_vit_tpu.ops.augment import (
+        IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD,
+        IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD, normalize, to_float,
+    )
+    mean = (IMAGENET_DEFAULT_MEAN if args.imagenet_default_mean_and_std
+            else IMAGENET_INCEPTION_MEAN)
+    std = (IMAGENET_DEFAULT_STD if args.imagenet_default_mean_and_std
+           else IMAGENET_INCEPTION_STD)
+    return normalize(to_float(jnp.asarray(images_u8)), mean, std)
+
+
 def _eval_batches(loader, args):
     """Yield (normalized images, labels) with the on-device eval transform."""
-    crop_pct = args.crop_pct or (224 / 256 if args.input_size < 384 else 1.0)
     for batch in loader:
-        images_u8, labels = batch[0], batch[-1]
-        if images_u8.shape[1] != args.input_size:
-            images = eval_transform_batch(
-                jnp.asarray(images_u8), args.input_size, crop_pct,
-                args.imagenet_default_mean_and_std,
-            )
-        else:
-            from uncertainty_vit_tpu.ops.augment import (
-                IMAGENET_DEFAULT_MEAN, IMAGENET_DEFAULT_STD,
-                IMAGENET_INCEPTION_MEAN, IMAGENET_INCEPTION_STD, normalize, to_float,
-            )
-            mean = (IMAGENET_DEFAULT_MEAN if args.imagenet_default_mean_and_std
-                    else IMAGENET_INCEPTION_MEAN)
-            std = (IMAGENET_DEFAULT_STD if args.imagenet_default_mean_and_std
-                   else IMAGENET_INCEPTION_STD)
-            images = normalize(to_float(jnp.asarray(images_u8)), mean, std)
-        yield images, labels
+        yield _eval_prep(batch[0], args), batch[-1]
 
 
 def load_variables(args, model, sample, return_missing: bool = False):
@@ -575,7 +578,14 @@ def main(args):
         )
         state = init_dist_finetune_state(model, tx, rng, sample)
         state = state.replace(params=params, opt_state=tx.init(params))
-        train_step = make_dist_finetune_train_step(model, tx, hp, lr_schedule)
+        # triplet loop fusion: anchor augmentation + pos/neg eval transforms
+        # run IN the step jit from raw uint8 batches (one dispatch per step,
+        # same as the non-stochastic aug_fn path)
+        train_step = make_dist_finetune_train_step(
+            model, tx, hp, lr_schedule,
+            aug_fn=lambda k, imgs: aug_batch(k, imgs),
+            prep_fn=lambda imgs: _eval_prep(imgs, args),
+        )
     else:
         hp = FinetuneHParams(
             num_classes=nb_classes, mixup_alpha=args.mixup, cutmix_alpha=args.cutmix,
@@ -641,7 +651,6 @@ def main(args):
                 sngp_state=sngp_reset_cov(state.sngp_state, cfg.sngp_ridge_penalty)
             )
         logger = MetricLogger()
-        data_rng = jax.random.fold_in(rng, epoch)
         # Deferred metric readback: reading float(loss) immediately would
         # block the host on every step, serializing dispatch with compute.
         # A 2-deep window keeps the host ~2 steps ahead (aug/fwd/bwd of step
@@ -662,12 +671,12 @@ def main(args):
             if step >= steps_per_epoch:
                 break
             if triplet:
-                akey = jax.random.fold_in(data_rng, step)
+                # raw uint8 triplets: aug + eval transforms fused in-step
                 img_u8, pos_u8, neg_u8, labels = batch
-                img = aug_batch(akey, jnp.asarray(img_u8))
-                pos = next(_eval_batches([(pos_u8, labels)], args))[0]
-                neg = next(_eval_batches([(neg_u8, labels)], args))[0]
-                state, metrics = train_step(state, img, pos, neg, jnp.asarray(labels), rng)
+                state, metrics = train_step(
+                    state, jnp.asarray(img_u8), jnp.asarray(pos_u8),
+                    jnp.asarray(neg_u8), jnp.asarray(labels), rng,
+                )
             else:
                 images_u8, labels = batch[0], batch[-1]
                 # letterboxed batches carry per-sample valid extents so the

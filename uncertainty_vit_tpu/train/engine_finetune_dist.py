@@ -52,15 +52,25 @@ def make_dist_finetune_train_step(
     tx: optax.GradientTransformation,
     hp: DistFinetuneHParams,
     lr_schedule: Optional[Callable] = None,
+    aug_fn: Optional[Callable] = None,
+    prep_fn: Optional[Callable] = None,
 ):
     """Returns jitted (state, img, pos, neg, labels, rng) → (state, metrics).
 
-    img/pos/neg: [B, H, W, 3] (img augmented, pos/neg eval-transformed, per
-    dist_datasets.py:31-44)."""
+    Without hooks, img/pos/neg are [B, H, W, 3] f32 (img augmented, pos/neg
+    eval-transformed on the host side, per dist_datasets.py:31-44). With
+    aug_fn (key, uint8 imgs) → f32 and prep_fn (uint8 imgs) → f32, the step
+    takes RAW uint8 triplets and runs the anchor augmentation + the pos/neg
+    eval transforms in-graph — one dispatch per step, same fusion as
+    engine_finetune's aug_fn (round-4 loop fusion)."""
 
     def step_fn(state: DistFinetuneState, img, pos, neg, labels, rng):
         rng = jax.random.fold_in(rng, state.step)
-        r_mix, r_drop, r_path, r_quant = jax.random.split(rng, 4)
+        r_mix, r_drop, r_path, r_quant, r_aug = jax.random.split(rng, 5)
+        if aug_fn is not None:
+            img = aug_fn(r_aug, img)
+            pos = prep_fn(pos)
+            neg = prep_fn(neg)
 
         if hp.mixup_active:
             img, targets = mixup_cutmix(
