@@ -58,12 +58,16 @@ def test_evaluate_temperature_scaled_end_to_end():
         (feats["logits"][i : i + 128], feats["labels"][i : i + 128])
         for i in range(0, 512, 128)
     ]
-    out = CAL.evaluate_temperature_scaled(
-        lambda x: jnp.asarray(x), batches[:2], batches[2:]
-    )
+    # default: fit on the eval split itself (no held-out calibration set)
+    out = CAL.evaluate_temperature_scaled(lambda x: jnp.asarray(x), batches)
     assert out["temperature"] > 1.5
     for k in ("acc1", "nll", "ece", "loss"):
         assert np.isfinite(out[k])
+    # explicit fit split: same distribution → nearly the same T
+    out2 = CAL.evaluate_temperature_scaled(
+        lambda x: jnp.asarray(x), batches[:2], fit_batches=batches[2:]
+    )
+    assert abs(out2["temperature"] - out["temperature"]) / out["temperature"] < 0.25
 
 
 def test_cli_flag_parses_and_guards():

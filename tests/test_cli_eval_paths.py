@@ -393,7 +393,10 @@ def test_aa_token_validation():
     assert kwargs("rand-m7-mstd0.25-n2")["aa_magnitude"] == 7.0
     assert kwargs("none") == {}
     for bad in ("rand-m9-n3", "rand-p0.5", "rand-m9-inc0", "rand-w0",
-                "original", "augmix-m3"):
+                "original", "augmix-m3",
+                # malformed numerics must give the diagnostic error too,
+                # not a bare float() ValueError
+                "rand-m9-mstd", "rand-m1.2.3", "rand-mstdx0.5"):
         with pytest.raises(ValueError, match="aa"):
             kwargs(bad)
 

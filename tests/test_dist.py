@@ -108,6 +108,20 @@ def test_dist_finetune_train_step():
     assert float(m["wasserstein_loss"]) >= 0.0
 
 
+def test_dist_fused_hooks_must_pair():
+    import pytest
+
+    model = DistVisionTransformer(cfg=TINY)
+    hp = DistFinetuneHParams(num_classes=5)
+    lr = schedules.constant_schedule(1e-3)
+    sample = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    tx = make_optimizer(
+        model.init(jax.random.PRNGKey(0), sample)["params"], lr, weight_decay=0.0
+    )
+    with pytest.raises(ValueError, match="together"):
+        make_dist_finetune_train_step(model, tx, hp, lr, aug_fn=lambda k, x: x)
+
+
 def test_dist_finetune_step_fused_triplet_prep():
     """Round-4 triplet loop fusion: the step takes RAW uint8 triplets; the
     anchor aug + pos/neg eval transforms run in-graph and must reproduce

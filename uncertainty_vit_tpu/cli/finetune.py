@@ -82,10 +82,17 @@ def get_args_parser():
     g.add_argument("--laplace_link", choices=["probit", "mc"], default="probit",
                    help="Laplace predictive link approximation")
     g.add_argument("--temp_scaling", action="store_true",
-                   help="post-hoc temperature scaling (Guo et al. 2017), "
-                        "fit on the train split — a calibration baseline "
-                        "the reference's metric suite measures against but "
-                        "never provides (evals/calibration.py)")
+                   help="post-hoc temperature scaling (Guo et al. 2017) — a "
+                        "calibration baseline the reference's metric suite "
+                        "measures against but never provides "
+                        "(evals/calibration.py)")
+    g.add_argument("--temp_scaling_split", choices=["eval", "train"],
+                   default="eval",
+                   help="where to fit T*: 'eval' fits the one scalar on the "
+                        "reported split (standard when no held-out "
+                        "calibration set exists; negligible leak), 'train' "
+                        "matches the Laplace protocol (sound only for "
+                        "underfit models — near-zero train NLL gives T*~1)")
     g.add_argument("--lambda_finetuning", type=float, default=1e-4)
     g.add_argument("--lambda_pvn", type=float, default=1e-4)
     e = p.add_argument_group("evaluation")
@@ -133,20 +140,29 @@ def _aa_kwargs(args):
             "(ops/randaugment.py); 'original'/'augmix' policies are not "
             "carried"
         )
+    def bad(part):
+        return ValueError(
+            f"unsupported --aa token {part!r} in {aa!r}: the on-device "
+            "RandAugment supports m<mag>, mstd<std>, inc1, n2 "
+            "(two rounds and increasing severity are baked in)"
+        )
+
     mag, mstd = 9.0, 0.5
     for part in parts[1:]:
         if part.startswith("mstd"):
-            mstd = float(part[4:])
+            try:
+                mstd = float(part[4:])
+            except ValueError:
+                raise bad(part) from None
         elif part in ("inc1", "n2"):
             pass  # the baked-in defaults (increasing tables, two rounds)
         elif part.startswith("m") and part[1:].replace(".", "").isdigit():
-            mag = float(part[1:])
+            try:
+                mag = float(part[1:])
+            except ValueError:  # e.g. 'm1.2.3' passes the isdigit gate
+                raise bad(part) from None
         else:
-            raise ValueError(
-                f"unsupported --aa token {part!r} in {aa!r}: the on-device "
-                "RandAugment supports m<mag>, mstd<std>, inc1, n2 "
-                "(two rounds and increasing severity are baked in)"
-            )
+            raise bad(part)
     return {"auto_augment": True, "aa_magnitude": mag, "aa_magnitude_std": mstd}
 
 
@@ -288,6 +304,20 @@ def _default_eval_forward(args, model, variables):
     return jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
 
 
+def _fit_loader(args):
+    """Train-split loader for post-hoc fits (laplace / temperature): FULL
+    split through the EVAL transform — no shuffle, no tail drop, UNPADDED
+    host shards (padding would double-count samples in multi-host factor
+    reductions); letterbox decode is a train-augmentation concern, so it
+    is stripped."""
+    fit_args = argparse.Namespace(**{**vars(args), "decode_letterbox": False})
+    loader, _ = B.build_loaders(
+        fit_args, is_train=True, shuffle=False, drop_last=False,
+        pad_shards=False,
+    )
+    return loader
+
+
 def _fit_laplace(args, model, variables):
     """Fit the last-layer KFAC Laplace posterior on the train split
     (evals/laplace.py; the reference's intended-but-dead dispatch,
@@ -302,16 +332,9 @@ def _fit_laplace(args, model, variables):
             f"head_type={model.cfg.head_type!r} is itself an "
             "uncertainty method"
         )
-    # fit on the FULL train split through the EVAL transform (GGN at the
-    # MAP wants clean inputs): no shuffle, no tail drop, UNPADDED host
-    # shards (padding would double-count samples in the multi-host factor
-    # reduction); letterbox decode is a train-augmentation concern, so
-    # strip it for the fit loader
-    fit_args = argparse.Namespace(**{**vars(args), "decode_letterbox": False})
-    fit_loader, _ = B.build_loaders(
-        fit_args, is_train=True, shuffle=False, drop_last=False,
-        pad_shards=False,
-    )
+    # the GGN at the MAP legitimately uses train data (unlike temperature
+    # scaling's NLL fit — see --temp_scaling_split)
+    fit_loader = _fit_loader(args)
     ffwd = L.make_feature_forward(model, variables)
     la = L.fit_last_layer_laplace(
         ffwd, variables["params"]["head"], _eval_batches(fit_loader, args)
@@ -488,14 +511,13 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
     elif args.temp_scaling:
         from uncertainty_vit_tpu.evals import calibration as CAL
 
-        fit_args = argparse.Namespace(**{**vars(args), "decode_letterbox": False})
-        fit_loader, _ = B.build_loaders(
-            fit_args, is_train=True, shuffle=False, drop_last=False,
-            pad_shards=False,
-        )
         fwd = _default_eval_forward(args, model, variables)
+        fit_batches = (
+            _eval_batches(_fit_loader(args), args)
+            if args.temp_scaling_split == "train" else None
+        )
         results["temp_scaling"] = CAL.evaluate_temperature_scaled(
-            fwd, _eval_batches(fit_loader, args), batches(),
+            fwd, batches(), fit_batches=fit_batches,
         )
         print(f"temperature scaling: T* = "
               f"{results['temp_scaling']['temperature']:.4f}", flush=True)

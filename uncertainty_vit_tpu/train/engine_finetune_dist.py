@@ -63,6 +63,12 @@ def make_dist_finetune_train_step(
     takes RAW uint8 triplets and runs the anchor augmentation + the pos/neg
     eval transforms in-graph — one dispatch per step, same fusion as
     engine_finetune's aug_fn (round-4 loop fusion)."""
+    if (aug_fn is None) != (prep_fn is None):
+        raise ValueError(
+            "aug_fn and prep_fn must be provided together: the fused step "
+            "takes raw uint8 for ALL THREE triplet streams (anchor aug + "
+            "pos/neg eval prep)"
+        )
 
     def step_fn(state: DistFinetuneState, img, pos, neg, labels, rng):
         rng = jax.random.fold_in(rng, state.step)
