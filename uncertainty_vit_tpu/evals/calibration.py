@@ -83,15 +83,7 @@ def fit_temperature(
     return float(np.sqrt(lo * hi))  # log-midpoint of the final bracket
 
 
-def collect_logits(
-    forward: Callable, batches: Iterable
-) -> Tuple[np.ndarray, np.ndarray]:
-    logits_all, labels_all = [], []
-    for batch in batches:
-        images, labels = batch[0], batch[-1]
-        logits_all.append(np.asarray(forward(images), np.float32))
-        labels_all.append(np.asarray(labels))
-    return np.concatenate(logits_all), np.concatenate(labels_all)
+from uncertainty_vit_tpu.evals.collect import collect_logits  # noqa: E402
 
 
 def evaluate_temperature_scaled(

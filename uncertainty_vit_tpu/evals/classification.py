@@ -23,13 +23,11 @@ from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
 def _collect_logits(
     forward: Callable, batches: Iterable, *extra_args
 ) -> Tuple[np.ndarray, np.ndarray]:
-    logits_all, labels_all = [], []
-    for batch in batches:
-        images, labels = batch[0], batch[-1]
-        logits = forward(images, *extra_args)
-        logits_all.append(np.asarray(logits, dtype=np.float32))
-        labels_all.append(np.asarray(labels))
-    return np.concatenate(logits_all), np.concatenate(labels_all)
+    # 2-deep readback window: batch i+2 dispatches while batch i reads back
+    # (evals/collect.py — same serialization fix as the train loops)
+    from uncertainty_vit_tpu.evals.collect import collect_logits
+
+    return collect_logits(lambda imgs: forward(imgs, *extra_args), batches)
 
 
 def make_eval_forward(model, het: bool = False) -> Callable:
@@ -96,14 +94,15 @@ def evaluate_mc_dropout(
     rng = jax.random.PRNGKey(0) if rng is None else rng
     mean_fwd = make_mc_dropout_mean_forward(model, num_samples, split_at=split_at)
 
-    logits_all, labels_all = [], []
-    for i, batch in enumerate(batches):
-        images, labels = batch[0], batch[-1]
-        logits = mean_fwd(variables, images, jax.random.fold_in(rng, i))
-        logits_all.append(np.asarray(logits, dtype=np.float32))
-        labels_all.append(np.asarray(labels))
-    logits = np.concatenate(logits_all)
-    labels = np.concatenate(labels_all)
+    from uncertainty_vit_tpu.evals.collect import pipelined_pairs
+
+    pairs = (
+        (mean_fwd(variables, batch[0], jax.random.fold_in(rng, i)), batch[-1])
+        for i, batch in enumerate(batches)
+    )
+    outs = list(pipelined_pairs(pairs))
+    logits = np.concatenate([o[0] for o in outs])
+    labels = np.concatenate([o[1] for o in outs])
     out = M.classification_metrics(jnp.asarray(logits), jnp.asarray(labels))
     return {k: float(v) for k, v in out.items()}
 
@@ -117,14 +116,12 @@ def evaluate_ensemble(
     (engine_for_finetuning.py:224-343)."""
     fwd = make_ensemble_forward(model)
 
-    member_logits_all, labels_all = [], []
-    for batch in batches:
-        images, labels = batch[0], batch[-1]
-        member_logits = fwd(stacked_variables, images)  # [M, B, C]
-        member_logits_all.append(np.asarray(member_logits, dtype=np.float32))
-        labels_all.append(np.asarray(labels))
-    member_logits = np.concatenate(member_logits_all, axis=1)
-    labels = jnp.asarray(np.concatenate(labels_all))
+    from uncertainty_vit_tpu.evals.collect import pipelined_pairs
+
+    pairs = ((fwd(stacked_variables, b[0]), b[-1]) for b in batches)  # [M, B, C]
+    outs = list(pipelined_pairs(pairs))
+    member_logits = np.concatenate([o[0] for o in outs], axis=1)
+    labels = jnp.asarray(np.concatenate([o[1] for o in outs]))
 
     results: Dict[str, Any] = {"members": []}
     for m in range(member_logits.shape[0]):

@@ -231,17 +231,19 @@ def evaluate_laplace(
             la, lg, ft, link=link, mc_samples=mc_samples, rng=key
         )
     )
+    from uncertainty_vit_tpu.evals.collect import pipelined_pairs
+
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    lp_all, labels_all = [], []
-    for i, batch in enumerate(batches):
-        images, labels = batch[0], batch[-1]
-        logits, feats = feature_forward(images)
-        lp = pred(logits, feats, jax.random.fold_in(rng, i))
-        lp_all.append(np.asarray(lp, np.float32))
-        labels_all.append(np.asarray(labels))
+
+    def dispatch():
+        for i, batch in enumerate(batches):
+            logits, feats = feature_forward(batch[0])
+            yield pred(logits, feats, jax.random.fold_in(rng, i)), batch[-1]
+
+    outs = list(pipelined_pairs(dispatch()))
     out = M.classification_metrics(
-        jnp.asarray(np.concatenate(lp_all)),
-        jnp.asarray(np.concatenate(labels_all)),
+        jnp.asarray(np.concatenate([o[0] for o in outs])),
+        jnp.asarray(np.concatenate([o[1] for o in outs])),
     )
     out["loss"] = out["nll"]
     out["prior_precision"] = la.prior_precision

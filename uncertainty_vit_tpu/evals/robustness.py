@@ -44,15 +44,13 @@ def evaluate_corruption(
 ) -> Dict[str, object]:
     """Per-distortion Acc@1 + unnormalized mCE (c_evaluate semantics:
     CE = (100 − acc)/100, mCE = mean over distortions)."""
+    from uncertainty_vit_tpu.evals.collect import collect_logits
+
     accs, errors, per = [], [], {}
     for name in distortions:
-        logits_all, labels_all = [], []
-        for batch in loader_factory(name):
-            images, labels = batch[0], batch[-1]
-            logits_all.append(np.asarray(forward_fn(images), np.float32))
-            labels_all.append(np.asarray(labels))
-        logits = jnp.asarray(np.concatenate(logits_all))
-        labels = jnp.asarray(np.concatenate(labels_all))
+        logits_np, labels_np = collect_logits(forward_fn, loader_factory(name))
+        logits = jnp.asarray(logits_np)
+        labels = jnp.asarray(labels_np)
         acc1, _ = M.accuracy_topk(logits, labels)
         acc1 = float(acc1)
         accs.append(acc1)
