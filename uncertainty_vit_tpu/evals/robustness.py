@@ -144,18 +144,29 @@ def evaluate_perturbation(
     """p_evaluate (uncertainty_evaluations.py:584-658): per perturbation,
     run all video frames through the model, compute flip probability and
     top-5 / Zipf ranking distances; report the mean flip probability."""
+    from uncertainty_vit_tpu.evals.collect import pipelined_pairs
+
     per: Dict[str, Dict[str, float]] = {}
     flips, zipfs = [], []
     for name in perturbations:
         is_noise = "noise" in name
         predictions: List[np.ndarray] = []
         ranks: List[np.ndarray] = []
-        for videos_u8 in video_loader_factory(name):
-            videos_u8 = np.asarray(videos_u8)
-            b, t = videos_u8.shape[0], videos_u8.shape[1]
-            frames = jnp.asarray(videos_u8.reshape(b * t, *videos_u8.shape[2:]))
-            data = process_p_frames(frames, frame_size)
-            logits = np.asarray(forward_fn(data), np.float32).reshape(b, t, num_classes)
+
+        def dispatch(name=name):
+            for videos_u8 in video_loader_factory(name):
+                videos_u8 = np.asarray(videos_u8)
+                b, t = videos_u8.shape[0], videos_u8.shape[1]
+                frames = jnp.asarray(
+                    videos_u8.reshape(b * t, *videos_u8.shape[2:])
+                )
+                yield forward_fn(process_p_frames(frames, frame_size)), (b, t)
+
+        # 2-deep window: the per-frame rankdata host work below overlaps
+        # the device forward of the batches ahead (evals/collect.py)
+        for flat, bt in pipelined_pairs(dispatch()):
+            b, t = int(bt[0]), int(bt[1])
+            logits = flat.reshape(b, t, num_classes)
             for vid in logits:
                 predictions.append(vid.argmax(1))
                 ranks.append(np.stack([_rankdata_ordinal_desc(f) for f in vid]))
