@@ -179,6 +179,15 @@ def test_cli_finetune_stochastic(cifar_root, tmp_path):
     )))
     state = FT.main(args)
     assert int(state.step) == 2
+    # dist eval dispatch (run_class_finetuning.py:667-674 'stochastic'):
+    # [2]-indexed logits from the (mean, cov, logits) triple
+    args = FT.get_args_parser().parse_args(common_flags(cifar_root, out, (
+        "--stochastic", "--eval", "--layer_scale_init_value", "0.1",
+    )))
+    results = FT.main(args)
+    assert "dist_eval" in results
+    assert 0.0 <= results["dist_eval"]["acc1"] <= 100.0
+    assert np.isfinite(results["dist_eval"]["nll"])
 
 
 def test_cli_train_dvae_produces_loadable_weights(cifar_root, tmp_path):

@@ -489,14 +489,13 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
             model, stack_params(_load_ensemble_members(args, variables)), batches()
         )
     elif args.stochastic:
-        fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
-        logits_all, labels_all = [], []
-        for images, labels in batches():
-            logits_all.append(np.asarray(fwd(images), np.float32))
-            labels_all.append(np.asarray(labels))
         from uncertainty_vit_tpu.evals import metrics as M
+        from uncertainty_vit_tpu.evals.collect import collect_logits
+
+        fwd = jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True)[2])
+        logits_np, labels_np = collect_logits(fwd, batches())
         out = M.classification_metrics(
-            jnp.asarray(np.concatenate(logits_all)), jnp.asarray(np.concatenate(labels_all))
+            jnp.asarray(logits_np), jnp.asarray(labels_np)
         )
         results["dist_eval"] = {k: float(v) for k, v in out.items()}
     elif args.laplace:
