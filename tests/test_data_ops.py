@@ -395,3 +395,7 @@ def test_cutmix_minmax_box_semantics():
     )
     np.testing.assert_allclose(np.asarray(targets.sum(-1)), 1.0, rtol=1e-5)
     assert not np.allclose(np.asarray(mixed), np.asarray(imgs))
+    # bounds that collapse after int() must error like timm's randint
+    # (e.g. (0.199, 0.2) at 224px), not silently fix a constant cut size
+    with pytest.raises(ValueError, match="collapses"):
+        MX._rand_bbox_minmax(jax.random.PRNGKey(0), 224, 224, (0.199, 0.2))

@@ -332,6 +332,23 @@ def build_loaders(
         data_set_filter_file=getattr(args, "data_set_filter_file", None) if is_train else None,
         seed=args.seed,
     )
+    if (
+        pad_shards is False
+        and jax.process_count() > 1
+        and getattr(args, "seq_parallel", 1) > 1
+    ):
+        # when the device mesh spans processes (seq/model parallelism),
+        # every jitted forward is an SPMD collective — hosts MUST issue the
+        # same number of dispatches or the program hangs at the final
+        # uneven batch. Padded shards restore lockstep; the ≤ num_hosts−1
+        # duplicated samples are noted where the loader feeds a fit
+        # (negligible for scalar/factor fits).
+        print(
+            "build_loaders: forcing pad_shards=True — unpadded shards "
+            "would break multi-host lockstep under --seq_parallel",
+            flush=True,
+        )
+        pad_shards = True
     loader = BatchLoader(
         dataset, args.batch_size,
         shuffle=is_train if shuffle is None else shuffle, seed=args.seed,

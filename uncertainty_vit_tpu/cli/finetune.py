@@ -283,13 +283,14 @@ def _mc_mean_forward(args, model, variables):
     reusing one key would correlate errors across the whole dataset."""
     from uncertainty_vit_tpu.evals.mc_dropout import make_mc_dropout_mean_forward
 
+    from uncertainty_vit_tpu.evals.collect import per_call_rng
+
     mc = make_mc_dropout_mean_forward(
         _mc_eval_model(model), args.mc_dropout_forwards,
         split_at=args.mc_dropout_split_at,
     )
-    rng0 = jax.random.PRNGKey(args.seed)
-    counter = iter(range(1 << 30))
-    return lambda imgs: mc(variables, imgs, jax.random.fold_in(rng0, next(counter)))
+    key = per_call_rng(jax.random.PRNGKey(args.seed))
+    return lambda imgs: mc(variables, imgs, key())
 
 
 def _default_eval_forward(args, model, variables):
@@ -297,10 +298,11 @@ def _default_eval_forward(args, model, variables):
     --het_layer each call folds a fresh 'mc' rng so the heteroscedastic
     head's noise varies per batch (see evals.classification.make_eval_forward)."""
     if args.het_layer:
+        from uncertainty_vit_tpu.evals.collect import per_call_rng
+
         jfwd = E.make_eval_forward(model, het=True)
-        rng0 = jax.random.PRNGKey(args.seed)
-        counter = iter(range(1 << 30))
-        return lambda imgs: jfwd(variables, imgs, jax.random.fold_in(rng0, next(counter)))
+        key = per_call_rng(jax.random.PRNGKey(args.seed))
+        return lambda imgs: jfwd(variables, imgs, key())
     return jax.jit(lambda imgs: model.apply(variables, imgs, deterministic=True))
 
 
@@ -342,14 +344,15 @@ def _fit_laplace(args, model, variables):
     la = L.optimize_prior_precision(la)
     print(f"laplace: fit on {la.n} samples, "
           f"prior precision {la.prior_precision:g}", flush=True)
-    rng0 = jax.random.PRNGKey(args.seed)
-    counter = iter(range(1 << 30))
+    from uncertainty_vit_tpu.evals.collect import per_call_rng
+
+    key = per_call_rng(jax.random.PRNGKey(args.seed))
     jpred = jax.jit(
         lambda lg, ft, key: L.predictive_log_probs(
             la, lg, ft, link=args.laplace_link, rng=key
         )
     )
-    pred = lambda lg, ft: jpred(lg, ft, jax.random.fold_in(rng0, next(counter)))
+    pred = lambda lg, ft: jpred(lg, ft, key())
     return la, ffwd, pred
 
 

@@ -41,8 +41,11 @@ def nll_at_temperature(logits: jnp.ndarray, labels: jnp.ndarray, t) -> jnp.ndarr
 
 def _nll_curve(logits, labels, grid: np.ndarray, nll_jit) -> np.ndarray:
     """Full-set NLL at each grid temperature — one jitted reduction per
-    point, so peak memory stays at one (N, C) intermediate."""
-    return np.array([float(nll_jit(logits, labels, t)) for t in grid])
+    point, so peak memory stays at one (N, C) intermediate. All points are
+    DISPATCHED before any is read back (each result is one device scalar;
+    a float() per point would serialize 64 dispatch↔sync round-trips)."""
+    pending = [nll_jit(logits, labels, t) for t in grid]
+    return np.array([float(v) for v in pending])
 
 
 def _gather_weighted(curve: np.ndarray, n: int) -> Tuple[np.ndarray, int]:
@@ -69,14 +72,22 @@ def fit_temperature(
     logits = jnp.asarray(logits, jnp.float32)
     labels = jnp.asarray(labels)
     n = int(labels.shape[0])
+    if n == 0 and jax.process_count() == 1:
+        raise ValueError("fit_temperature got an empty fit set")
     nll_jit = jax.jit(nll_at_temperature)
 
     lo, hi = float(t_min), float(t_max)
     for _ in range(2):  # coarse bracket, then fine grid inside it
         grid = np.logspace(np.log10(lo), np.log10(hi), grid_points)
-        curve, _ = _gather_weighted(
-            _nll_curve(logits, labels, grid, nll_jit), n
+        # empty LOCAL shard (multi-host): a zero curve contributes nothing
+        # to the summed reduction (NLL of zero samples would be NaN)
+        local = (
+            _nll_curve(logits, labels, grid, nll_jit)
+            if n else np.zeros(grid_points)
         )
+        curve, total_n = _gather_weighted(local, n)
+        if total_n == 0:
+            raise ValueError("fit_temperature: empty fit set on every host")
         i = int(np.argmin(curve))
         lo = float(grid[max(i - 1, 0)])
         hi = float(grid[min(i + 1, grid_points - 1)])
@@ -100,7 +111,9 @@ def evaluate_temperature_scaled(
     if fit_batches is None:
         fit_logits, fit_labels = logits, labels
     else:
-        fit_logits, fit_labels = collect_logits(forward, fit_batches)
+        fit_logits, fit_labels = collect_logits(
+            forward, fit_batches, allow_empty=jax.process_count() > 1
+        )
     t = fit_temperature(jnp.asarray(fit_logits), jnp.asarray(fit_labels))
 
     out = M.classification_metrics(jnp.asarray(logits) / t, jnp.asarray(labels))

@@ -65,9 +65,10 @@ def evaluate(
     het=True folds a fresh 'mc' rng per batch for the heteroscedastic head."""
     fwd = forward if forward is not None else make_eval_forward(model, het=het)
     if het:
-        rng0 = jax.random.PRNGKey(0) if rng is None else rng
-        counter = iter(range(1 << 30))
-        call = lambda imgs: fwd(variables, imgs, jax.random.fold_in(rng0, next(counter)))
+        from uncertainty_vit_tpu.evals.collect import per_call_rng
+
+        key = per_call_rng(jax.random.PRNGKey(0) if rng is None else rng)
+        call = lambda imgs: fwd(variables, imgs, key())
     else:
         call = lambda imgs: fwd(variables, imgs)
     logits, labels = _collect_logits(call, batches)

@@ -17,6 +17,17 @@ from typing import Iterable, Iterator, Tuple
 import numpy as np
 
 
+def per_call_rng(rng0):
+    """Stateful fresh-key stream: each call returns fold_in(rng0, i) for
+    i = 0, 1, 2, … — the shared wrapper for eval dispatches that must draw
+    fresh randomness per batch (MC-dropout masks, het-head noise, Laplace
+    MC link) without correlating draws across the dataset."""
+    import jax
+
+    counter = iter(range(1 << 30))
+    return lambda: jax.random.fold_in(rng0, next(counter))
+
+
 def pipelined_pairs(
     pairs: Iterable[Tuple[object, object]], depth: int = 2
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -33,12 +44,19 @@ def pipelined_pairs(
         yield np.asarray(d, np.float32), np.asarray(l)
 
 
-def collect_logits(forward, batches) -> Tuple[np.ndarray, np.ndarray]:
+def collect_logits(
+    forward, batches, allow_empty: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
     """Run `forward` over (images, ..., labels) batches with the pipelined
-    window; returns concatenated (logits, labels)."""
+    window; returns concatenated (logits, labels). allow_empty=True returns
+    zero-length arrays instead of raising — for multi-host fit paths where
+    one host's (unpadded) shard may legitimately be empty and raising would
+    strand the other hosts inside a collective."""
     pairs = ((forward(batch[0]), batch[-1]) for batch in batches)
     outs = list(pipelined_pairs(pairs))
     if not outs:
+        if allow_empty:
+            return np.zeros((0, 0), np.float32), np.zeros((0,), np.int64)
         raise ValueError("collect_logits got an empty batch stream")
     return (
         np.concatenate([o[0] for o in outs]),

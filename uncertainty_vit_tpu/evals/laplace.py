@@ -112,7 +112,11 @@ def fit_last_layer_laplace(
             a_sum, g_sum, loglik, logits, feats, jnp.asarray(labels)
         )
         n += int(np.asarray(labels).shape[0])
-    if n == 0:
+    # NOTE: an empty LOCAL shard is fine on multi-host runs (its zero sums
+    # contribute nothing to the reduction below; raising here would strand
+    # the other hosts inside process_allgather) — only a globally empty fit
+    # set errors, after the reduction.
+    if n == 0 and jax.process_count() == 1:
         raise ValueError("laplace fit got an empty loader")
     if jax.process_count() > 1:
         # multi-host: each host streamed its own train shard — reduce the
@@ -129,6 +133,8 @@ def fit_last_layer_laplace(
             ),
         )
         n = int(n_arr)
+        if n == 0:
+            raise ValueError("laplace fit got an empty loader on every host")
     a, q_a = jnp.linalg.eigh(a_sum)
     g, q_g = jnp.linalg.eigh(g_sum)
     theta_sqnorm = float(

@@ -64,9 +64,19 @@ def _rand_bbox_minmax(rng, h: int, w: int, minmax):
     uniform so the box never clips; lambda from the realized area."""
     lo_h, hi_h = int(h * minmax[0]), int(h * minmax[1])
     lo_w, hi_w = int(w * minmax[0]), int(w * minmax[1])
+    if lo_h >= hi_h or lo_w >= hi_w:
+        # timm's np.random.randint(lo, hi) raises for lo >= hi — bounds that
+        # collapse after int() (e.g. (0.199, 0.2) at 224px) must error, not
+        # silently train a constant-size cut. h/w/minmax are trace-time
+        # constants, so this is a clean Python error.
+        raise ValueError(
+            f"cutmix_minmax {tuple(minmax)} collapses at image size "
+            f"{(h, w)}: int bounds h[{lo_h},{hi_h}) w[{lo_w},{hi_w}) are "
+            "empty (timm raises here too)"
+        )
     rh, rw, ry, rx = jax.random.split(rng, 4)
-    cut_h = jax.random.randint(rh, (), lo_h, max(hi_h, lo_h + 1))
-    cut_w = jax.random.randint(rw, (), lo_w, max(hi_w, lo_w + 1))
+    cut_h = jax.random.randint(rh, (), lo_h, hi_h)
+    cut_w = jax.random.randint(rw, (), lo_w, hi_w)
     y1 = jax.random.randint(ry, (), 0, h - cut_h)
     x1 = jax.random.randint(rx, (), 0, w - cut_w)
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
