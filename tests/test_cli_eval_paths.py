@@ -336,6 +336,34 @@ def test_new_reference_flags_wire_through(cifar_root, tmp_path):
     assert "test_acc1" not in log[0] and "train_loss" in log[0]
 
 
+def test_unpadded_shards_forced_padded_under_cross_host_seq_parallel(
+    cifar_root, monkeypatch
+):
+    """When the device mesh spans processes (--seq_parallel with multiple
+    hosts), unpadded shards would desynchronize SPMD dispatch counts —
+    build_loaders must force pad_shards=True (review finding)."""
+    import jax as _jax
+
+    from uncertainty_vit_tpu.cli import builders as B2
+    from uncertainty_vit_tpu.cli import finetune as FT
+
+    args = FT.get_args_parser().parse_args([
+        "--data_set", "CIFAR100", "--data_path", cifar_root,
+        "--batch_size", "16", "--num_workers", "0", "--seq_parallel", "2",
+    ])
+    monkeypatch.setattr(B2.jax, "process_count", lambda: 2)
+    loader, _ = B2.build_loaders(
+        args, is_train=True, shuffle=False, drop_last=False, pad_shards=False
+    )
+    assert loader.pad_shards is True
+    # single-host (or no cross-host sharding): the explicit request sticks
+    monkeypatch.setattr(B2.jax, "process_count", lambda: 1)
+    loader, _ = B2.build_loaders(
+        args, is_train=True, shuffle=False, drop_last=False, pad_shards=False
+    )
+    assert loader.pad_shards is False
+
+
 def test_attn_micro_mode_env_hooks(monkeypatch):
     """UVIT_ATTN_BOUNDED_SCORES / UVIT_ATTN_LSE_BF16 flip the trace-time
     kernel flags from the environment (cli/common.setup_jax)."""
