@@ -29,16 +29,17 @@ def extract_embeddings(
     feat_model = VisionTransformer(cfg=cfg, dtype=getattr(model, "dtype", jnp.float32))
     fwd = jax.jit(lambda v, x: feat_model.apply(v, x, deterministic=True))
 
+    from uncertainty_vit_tpu.evals.collect import pipelined_pairs
+
+    pairs = ((fwd(variables, b[0]), b[-1]) for b in batches)
     feats, labels = [], []
     count = 0
-    for batch in batches:
-        images, lbls = batch[0], batch[-1]
-        f = fwd(variables, images)
-        feats.append(np.asarray(f, np.float32))
-        labels.append(np.asarray(lbls))
+    for f, lbls in pipelined_pairs(pairs):
+        feats.append(f)
+        labels.append(lbls)
         count += len(lbls)
         if max_items is not None and count >= max_items:
-            break
+            break  # stops pulling the dispatch generator too
     return np.concatenate(feats)[:max_items], np.concatenate(labels)[:max_items]
 
 
