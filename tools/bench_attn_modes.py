@@ -9,13 +9,24 @@ max-pass + lse-store headroom; floor 1.81 ms/layer fwd+bwd, full kernel
 measured 2.19 → target ≤ 2.0).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_attn_modes.py
+`--smoke` runs tiny shapes in the Pallas interpreter on CPU — a tool
+self-test so a latent bug here can't waste a TPU window (timings are
+meaningless in that mode; only the drift columns matter).
 """
 
+import sys
 import time
 
-from uncertainty_vit_tpu.cli.common import setup_jax
+SMOKE = "--smoke" in sys.argv
 
-setup_jax()
+if SMOKE:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+else:
+    from uncertainty_vit_tpu.cli.common import setup_jax
+
+    setup_jax()
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +34,11 @@ import numpy as np
 
 from uncertainty_vit_tpu.ops import flash_attention as FA
 
-B, N, C, H, LAYERS = 128, 197, 768, 12, 12
+if SMOKE:
+    FA.INTERPRET = True
+    B, N, C, H, LAYERS = 2, 17, 128, 2, 2  # D=64 so the kernel routes
+else:
+    B, N, C, H, LAYERS = 128, 197, 768, 12, 12
 D = C // H
 SCALE = D**-0.5
 
