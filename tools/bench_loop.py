@@ -43,11 +43,20 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--window", type=int, default=2,
                     help="deferred-readback depth in fused mode")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU self-test of the tool (timings "
+                         "meaningless; validates both loop shapes run)")
     args = ap.parse_args()
 
-    from uncertainty_vit_tpu.cli.common import setup_jax
+    if args.smoke:
+        import jax as _jax
 
-    setup_jax()
+        _jax.config.update("jax_platforms", "cpu")
+        args.batch, args.decode_size, args.iters = 8, 40, 3
+    else:
+        from uncertainty_vit_tpu.cli.common import setup_jax
+
+        setup_jax()
 
     import jax
     import jax.numpy as jnp
@@ -64,12 +73,17 @@ def main():
     from uncertainty_vit_tpu.train.optim import make_optimizer
 
     batch = args.batch
-    cfg = get_preset(
-        "beit_base_patch16_224",
-        use_shared_rel_pos_bias=True,
-        drop_path_rate=0.1,
-        init_values=0.1,
-    )
+    if args.smoke:
+        cfg = get_preset("beit_test_patch16_32", drop_path_rate=0.1)
+        input_size = 32
+    else:
+        cfg = get_preset(
+            "beit_base_patch16_224",
+            use_shared_rel_pos_bias=True,
+            drop_path_rate=0.1,
+            init_values=0.1,
+        )
+        input_size = 224
     model = VisionTransformer(cfg=cfg, dtype=jnp.bfloat16)
     hp = FinetuneHParams(num_classes=cfg.num_classes, num_patches=cfg.num_patches)
     lr = schedules.cosine_schedule(4e-3, 1e-6, 10_000, warmup_steps=500)
@@ -77,11 +91,13 @@ def main():
     # recipe augmentation: RRC + hflip + rand-m9-mstd0.5-inc1 + erasing 0.25
     def aug(k, imgs, vhw):
         return finetune_train_augment_batch(
-            k, imgs, 224, 0.4, 0.25, True, valid_hw=vhw,
+            k, imgs, input_size, 0.4, 0.25, True, valid_hw=vhw,
             auto_augment=True, aa_magnitude=9.0, aa_magnitude_std=0.5,
         )
 
-    sample = jax.random.normal(jax.random.PRNGKey(1), (batch, 224, 224, 3))
+    sample = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, input_size, input_size, 3)
+    )
     params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)["params"]
     tx = make_optimizer(
         params, lr, weight_decay=0.05, clip_grad=None, layer_decay=0.65,
