@@ -401,8 +401,11 @@ def test_aug_knob_validation():
         args = FT.get_args_parser().parse_args(["--cutmix_minmax", *bad])
         with pytest.raises(ValueError, match="cutmix_minmax"):
             B2.validate_aug_args(args)
+    # --resplit is a dead flag in the reference (parsed at
+    # run_class_finetuning.py:134, never wired into build_transform);
+    # parity behavior = accept it as a warned no-op, not an error
     args = FT.get_args_parser().parse_args(["--resplit"])
-    with pytest.raises(ValueError, match="resplit"):
+    with pytest.warns(UserWarning, match="resplit"):
         B2.validate_aug_args(args)
 
 

@@ -157,8 +157,9 @@ def add_data_args(p: argparse.ArgumentParser):
     g.add_argument("--recount", type=int, default=1,
                    help="number of random-erasing rectangles")
     g.add_argument("--resplit", action="store_true",
-                   help="not implemented (needs timm aug-splits); errors "
-                        "explicitly when set")
+                   help="accepted no-op: the reference parses this flag "
+                        "(run_class_finetuning.py:134) but never wires it "
+                        "into build_transform, so it is dead there too")
     # accepted for reference-script copy-paste compatibility; no-ops on the
     # single-controller TPU runtime (SPMD replaces torch.distributed;
     # device placement and pinned memory are handled by jax.device_put)
@@ -393,7 +394,17 @@ def validate_aug_args(args) -> None:
             f"{tuple(minmax)}"
         )
     if getattr(args, "resplit", False):
-        raise ValueError("--resplit requires timm aug-splits; not implemented")
+        # Dead flag in the reference itself: parsed at
+        # run_class_finetuning.py:134 but never passed to build_transform /
+        # create_transform, so setting it changes nothing there. Matching
+        # behavior: accept and ignore (warn for visibility).
+        import warnings
+
+        warnings.warn(
+            "--resplit is a no-op (dead flag in the reference too: parsed "
+            "but never wired into the transform pipeline)",
+            stacklevel=2,
+        )
 
 
 def compute_dtype(args):
