@@ -522,9 +522,11 @@ def test_optimizer_tail_minimizes_quadratic(opt):
 
 
 def test_unknown_optimizer_errors_explicitly():
+    # adahessian is implemented as of round 4 (tests/test_adahessian.py);
+    # a genuinely unknown name must still fail loudly
     params = {"w": jnp.ones(2)}
     with pytest.raises(ValueError, match="not supported"):
-        make_optimizer(params, lambda s: 0.1, opt_name="adahessian")
+        make_optimizer(params, lambda s: 0.1, opt_name="frobnicator")
 
 
 def test_lookahead_sync_pulls_toward_slow_weights():

@@ -27,9 +27,9 @@ if ! timeout 200 python -c "import jax; d=jax.devices(); print('PROBE_OK', d)" \
   exit 1
 fi
 
-echo "== stage 2: smoke (micro-modes + laplace)"
-timeout 1800 python -u tools/tpu_smoke.py micromodes laplace \
-  2>&1 | tee "$OUT/smoke.log" | tail -4
+echo "== stage 2: smoke (micro-modes + laplace + adahessian)"
+timeout 1800 python -u tools/tpu_smoke.py micro laplace adahessian \
+  2>&1 | tee "$OUT/smoke.log" | tail -5
 
 echo "== stage 3: attention micro-mode ablation"
 timeout 1800 python -u tools/bench_attn_modes.py 2>&1 | tee "$OUT/attn_modes.log" | tail -6

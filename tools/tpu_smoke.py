@@ -346,6 +346,32 @@ def smoke_micromodes():
         FA.BOUNDED_SCORES, FA.LSE_DTYPE = False, jnp.float32
 
 
+@case("adahessian train step (Hutchinson jvp-of-grad on chip)")
+def smoke_adahessian():
+    from uncertainty_vit_tpu.models.vit import VisionTransformer
+    from uncertainty_vit_tpu.train import schedules
+    from uncertainty_vit_tpu.train.engine_finetune import (
+        FinetuneHParams, FinetuneState, make_finetune_train_step,
+    )
+    from uncertainty_vit_tpu.train.optim import make_optimizer
+
+    cfg = get_preset("beit_base_patch16_224", use_shared_rel_pos_bias=True,
+                     drop_path_rate=0.1, init_values=0.1)
+    model = VisionTransformer(cfg=cfg, dtype=jnp.bfloat16)
+    x = images()
+    labels = jax.random.randint(jax.random.PRNGKey(2), (B,), 0, cfg.num_classes)
+    lr = schedules.cosine_schedule(4e-3, 1e-6, 1000, warmup_steps=10)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)["params"]
+    tx = make_optimizer(params, lr, weight_decay=0.05, opt_name="adahessian")
+    state = FinetuneState(params=params, opt_state=tx.init(params),
+                          step=jnp.zeros([], jnp.int32))
+    step = make_finetune_train_step(model, tx, FinetuneHParams(
+        num_classes=cfg.num_classes, num_patches=cfg.num_patches), lr,
+        use_hessian=True)
+    state, m = step(state, x, labels, jax.random.PRNGKey(3))
+    sync(m["loss"])
+
+
 @case("laplace last-layer fit + predictive")
 def smoke_laplace():
     from uncertainty_vit_tpu.evals import laplace as L

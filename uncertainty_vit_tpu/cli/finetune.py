@@ -36,6 +36,7 @@ from uncertainty_vit_tpu.train.engine_finetune import (
 from uncertainty_vit_tpu.train.engine_finetune_dist import (
     DistFinetuneHParams, init_dist_finetune_state, make_dist_finetune_train_step,
 )
+from uncertainty_vit_tpu.train.optim import needs_hessian
 from uncertainty_vit_tpu.utils import checkpoint as C
 from uncertainty_vit_tpu.utils.logging import JsonlLogger, MetricLogger, TensorboardLogger
 
@@ -609,6 +610,7 @@ def main(args):
             model, tx, hp, lr_schedule,
             aug_fn=lambda k, imgs: aug_batch(k, imgs),
             prep_fn=lambda imgs: _eval_prep(imgs, args),
+            use_hessian=needs_hessian(args.opt),
         )
     else:
         hp = FinetuneHParams(
@@ -630,7 +632,8 @@ def main(args):
         # batches go straight into ONE dispatch per step (VERDICT item:
         # the serialized aug→step split cost ~17% sustained throughput)
         train_step = make_finetune_train_step(
-            model, tx, hp, lr_schedule, aug_fn=aug_batch
+            model, tx, hp, lr_schedule, aug_fn=aug_batch,
+            use_hessian=needs_hessian(args.opt),
         )
 
     start_epoch = args.start_epoch

@@ -16,6 +16,7 @@ from uncertainty_vit_tpu.models.mim import MIMViT
 from uncertainty_vit_tpu.ops.augment import pretrain_two_view_batch
 from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask
 from uncertainty_vit_tpu.train.engine_mim import MIMState, make_mim_train_step
+from uncertainty_vit_tpu.train.optim import needs_hessian
 from uncertainty_vit_tpu.utils import checkpoint as C
 from uncertainty_vit_tpu.utils.logging import JsonlLogger, MetricLogger
 
@@ -84,7 +85,8 @@ def main(args):
         state, start_epoch = C.auto_load(args.output_dir, state)
 
     step_fn = make_mim_train_step(model, dvae, dvae_vars, tx, lr_schedule,
-                                  update_freq=max(1, args.update_freq))
+                                  update_freq=max(1, args.update_freq),
+                                  use_hessian=needs_hessian(args.opt))
     jsonl = JsonlLogger(args.output_dir)
     grid = cfg.grid_size
 

@@ -30,6 +30,7 @@ from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask
 from uncertainty_vit_tpu.train.engine_cyclical import (
     CyclicalHParams, init_cyclical_state, make_cyclical_train_step,
 )
+from uncertainty_vit_tpu.train.optim import needs_hessian
 from uncertainty_vit_tpu.utils import checkpoint as C
 from uncertainty_vit_tpu.utils.logging import JsonlLogger, MetricLogger, TensorboardLogger
 
@@ -189,7 +190,8 @@ def main(args):
         )
         return images, masks
 
-    train_step = make_cyclical_train_step(model, tx, hp, lr_schedule, prep_fn=prep)
+    train_step = make_cyclical_train_step(model, tx, hp, lr_schedule, prep_fn=prep,
+                                          use_hessian=needs_hessian(args.opt))
     tb = TensorboardLogger(args.log_dir or args.output_dir)
     jsonl = JsonlLogger(args.output_dir)
 

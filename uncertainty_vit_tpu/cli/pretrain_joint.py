@@ -19,6 +19,7 @@ from uncertainty_vit_tpu.cli.pretrain_beit import two_view_batch
 from uncertainty_vit_tpu.models.mim import JointViT
 from uncertainty_vit_tpu.ops.masking import batched_blockwise_mask
 from uncertainty_vit_tpu.train.engine_cyclical import CyclicalState
+from uncertainty_vit_tpu.train.optim import needs_hessian
 from uncertainty_vit_tpu.train.engine_mim import JointHParams, make_joint_train_step
 from uncertainty_vit_tpu.utils import checkpoint as C
 from uncertainty_vit_tpu.utils.logging import JsonlLogger, MetricLogger
@@ -105,7 +106,8 @@ def main(args):
     if args.auto_resume:
         state, start_epoch = C.auto_load(args.output_dir, state)
 
-    step_fn = make_joint_train_step(model, dvae, dvae_vars, tx, hp, lr_schedule)
+    step_fn = make_joint_train_step(model, dvae, dvae_vars, tx, hp, lr_schedule,
+                                    use_hessian=needs_hessian(args.opt))
     jsonl = JsonlLogger(args.output_dir)
     grid = cfg.grid_size
 

@@ -20,7 +20,7 @@ import optax
 
 from uncertainty_vit_tpu.ops import losses as L
 from uncertainty_vit_tpu.train.ema import cyclical_ema_step, ema_on_update_boundary
-from uncertainty_vit_tpu.train.optim import global_norm
+from uncertainty_vit_tpu.train.optim import global_norm, hessian_aware_update
 
 
 @flax.struct.dataclass
@@ -129,6 +129,7 @@ def make_cyclical_train_step(
     lr_schedule: Optional[Callable] = None,
     donate: bool = True,
     prep_fn: Optional[Callable] = None,
+    use_hessian: bool = False,
 ):
     """Returns a jitted train step.
 
@@ -229,7 +230,10 @@ def make_cyclical_train_step(
             loss_fn, has_aux=True
         )(state.params)
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = hessian_aware_update(
+            tx, grads, state.opt_state, state.params, loss_fn=loss_fn,
+            rng=jax.random.fold_in(rng, 7919), use_hessian=use_hessian,
+        )
         params = optax.apply_updates(state.params, updates)
 
         update_index = state.step // hp.update_freq

@@ -19,7 +19,7 @@ import optax
 from uncertainty_vit_tpu.ops import losses as L
 from uncertainty_vit_tpu.ops.mixup import mixup_cutmix, one_hot_smooth
 from uncertainty_vit_tpu.train.ema import ema_on_update_boundary, ema_update
-from uncertainty_vit_tpu.train.optim import global_norm
+from uncertainty_vit_tpu.train.optim import global_norm, hessian_aware_update
 
 
 @flax.struct.dataclass
@@ -68,8 +68,12 @@ def make_finetune_train_step(
     hp: FinetuneHParams,
     lr_schedule: Optional[Callable] = None,
     aug_fn: Optional[Callable] = None,
+    use_hessian: bool = False,
 ):
     """Returns jitted (state, images, labels, rng[, valid_hw]) → (state, metrics).
+
+    use_hessian: set when needs_hessian(args.opt) — adds the Hutchinson
+    jvp-of-grad pass feeding adahessian's hessian_diag extra arg.
 
     aug_fn: optional (key, images, valid_hw) → f32 images augmentation run
     IN-GRAPH — `images` is then the raw uint8 host batch and the whole
@@ -131,7 +135,10 @@ def make_finetune_train_step(
             state.params
         )
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = hessian_aware_update(
+            tx, grads, state.opt_state, state.params, loss_fn=loss_fn,
+            rng=jax.random.fold_in(rng, 7919), use_hessian=use_hessian,
+        )
         params = optax.apply_updates(state.params, updates)
 
         model_ema = state.model_ema

@@ -20,7 +20,7 @@ import optax
 
 from uncertainty_vit_tpu.ops import losses as L
 from uncertainty_vit_tpu.ops.mixup import mixup_cutmix, one_hot_smooth
-from uncertainty_vit_tpu.train.optim import global_norm
+from uncertainty_vit_tpu.train.optim import global_norm, hessian_aware_update
 
 
 @flax.struct.dataclass
@@ -54,6 +54,7 @@ def make_dist_finetune_train_step(
     lr_schedule: Optional[Callable] = None,
     aug_fn: Optional[Callable] = None,
     prep_fn: Optional[Callable] = None,
+    use_hessian: bool = False,
 ):
     """Returns jitted (state, img, pos, neg, labels, rng) → (state, metrics).
 
@@ -120,7 +121,10 @@ def make_dist_finetune_train_step(
         (loss, (logits, ce, w_loss)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = hessian_aware_update(
+            tx, grads, state.opt_state, state.params, loss_fn=loss_fn,
+            rng=jax.random.fold_in(rng, 7919), use_hessian=use_hessian,
+        )
         params = optax.apply_updates(state.params, updates)
 
         new_state = DistFinetuneState(

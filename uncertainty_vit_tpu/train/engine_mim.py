@@ -19,7 +19,7 @@ import optax
 from uncertainty_vit_tpu.ops import losses as L
 from uncertainty_vit_tpu.train.ema import cyclical_ema_step, ema_on_update_boundary
 from uncertainty_vit_tpu.train.engine_cyclical import CyclicalHParams, CyclicalState, build_targets
-from uncertainty_vit_tpu.train.optim import global_norm
+from uncertainty_vit_tpu.train.optim import global_norm, hessian_aware_update
 
 
 @flax.struct.dataclass
@@ -36,6 +36,7 @@ def make_mim_train_step(
     tx: optax.GradientTransformation,
     lr_schedule: Optional[Callable] = None,
     update_freq: int = 1,
+    use_hessian: bool = False,
 ):
     """Returns jitted (state, images, vae_images, mask, rng) → (state, metrics).
 
@@ -63,7 +64,10 @@ def make_mim_train_step(
             return loss, acc
 
         (loss, mlm_acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = hessian_aware_update(
+            tx, grads, state.opt_state, state.params, loss_fn=loss_fn,
+            rng=jax.random.fold_in(rng, 7919), use_hessian=use_hessian,
+        )
         params = optax.apply_updates(state.params, updates)
 
         new_state = MIMState(params=params, opt_state=opt_state, step=state.step + 1)
@@ -91,6 +95,7 @@ def make_joint_train_step(
     tx: optax.GradientTransformation,
     hp: JointHParams,
     lr_schedule: Optional[Callable] = None,
+    use_hessian: bool = False,
 ):
     """Returns jitted (state, images, vae_images, mask, epoch, rng) →
     (state, metrics). `epoch` is a traced scalar for the annealing weight."""
@@ -128,7 +133,10 @@ def make_joint_train_step(
         (loss, (loss_cyc, loss_beit, mlm_acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates, opt_state = hessian_aware_update(
+            tx, grads, state.opt_state, state.params, loss_fn=loss_fn,
+            rng=jax.random.fold_in(rng, 7919), use_hessian=use_hessian,
+        )
         params = optax.apply_updates(state.params, updates)
 
         update_index = state.step // hp.update_freq

@@ -268,6 +268,130 @@ def scale_by_sgdp(
     return optax.GradientTransformation(init, update)
 
 
+# ---------------------------------------------------------------------------
+# AdaHessian (optim_factory.py:149: timm Adahessian / davda54 ada-hessian)
+# ---------------------------------------------------------------------------
+
+def needs_hessian(opt_name: str) -> bool:
+    """True when the optimizer's update consumes a Hessian-diagonal estimate
+    and the engine must run the Hutchinson pass (reference
+    optim_factory.py:149 dispatches --opt adahessian to timm Adahessian)."""
+    name = (opt_name or "adamw").replace("fused", "")
+    if name.startswith("lookahead_"):
+        name = name[len("lookahead_"):]
+    return name == "adahessian"
+
+
+def hutchinson_hessian_diag(grad_fn, params: Any, rng, n_samples: int = 1):
+    """Hutchinson estimator of the Hessian diagonal: D = E_z[z ⊙ Hz] with
+    Rademacher z (timm adahessian.py set_hessian; n_samples default 1 as in
+    the reference's unconfigured construction). torch gets Hz from a second
+    backward with grad_outputs=z; here it is forward-over-reverse
+    jax.jvp(grad_fn, params, z), which XLA fuses into the step program.
+    grad_fn must recompute the SAME differentiable program the step's
+    gradients came from (same dropout/droppath draws)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+
+    def one_sample(key):
+        keys = jax.random.split(key, len(leaves))
+        z = jax.tree_util.tree_unflatten(
+            treedef,
+            [jax.random.rademacher(k, l.shape, l.dtype)
+             for k, l in zip(keys, leaves)],
+        )
+        _, hz = jax.jvp(grad_fn, (params,), (z,))
+        return jax.tree_util.tree_map(jnp.multiply, z, hz)
+
+    if n_samples == 1:
+        return one_sample(rng)
+    samples = [one_sample(k) for k in jax.random.split(rng, n_samples)]
+    return jax.tree_util.tree_map(
+        lambda *xs: sum(xs) / float(n_samples), *samples
+    )
+
+
+class ScaleByAdahessianState(NamedTuple):
+    count: jnp.ndarray
+    exp_avg: Any
+    exp_hess_sq: Any
+
+
+def scale_by_adahessian(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    hessian_power: float = 1.0,
+) -> optax.GradientTransformationExtraArgs:
+    """timm Adahessian.step() (optim_factory.py:149): m = EMA(grad),
+    v = EMA(D²) with D the Hutchinson Hessian-diagonal estimate;
+    update = (m / bc1) / ((v / bc2)^(k/2) + eps).
+
+    D arrives per step through the `hessian_diag` extra argument — a
+    gradient transformation cannot re-differentiate the loss, so the
+    second-order pass lives in the engine (hutchinson_hessian_diag).
+    Decoupled weight decay composes with make_optimizer's generic wd
+    transform: lr·(update + wd·p) ≡ timm's p.mul_(1 − lr·wd) pre-step."""
+
+    def init(params):
+        return ScaleByAdahessianState(
+            count=jnp.zeros([], jnp.int32),
+            exp_avg=jax.tree_util.tree_map(jnp.zeros_like, params),
+            exp_hess_sq=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params=None, *, hessian_diag=None, **extra):
+        del params, extra
+        if hessian_diag is None:
+            raise ValueError(
+                "adahessian needs hessian_diag=... passed through tx.update;"
+                " build the train step with use_hessian=True (engines do"
+                " this when needs_hessian(args.opt)) or supply"
+                " hutchinson_hessian_diag() yourself"
+            )
+        count = state.count + 1
+        m = jax.tree_util.tree_map(
+            lambda mu, g: b1 * mu + (1.0 - b1) * g, state.exp_avg, updates
+        )
+        v = jax.tree_util.tree_map(
+            lambda nu, d: b2 * nu + (1.0 - b2) * jnp.square(d),
+            state.exp_hess_sq, hessian_diag,
+        )
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        k = hessian_power
+        out = jax.tree_util.tree_map(
+            lambda mu, nu: (mu / bc1) / ((nu / bc2) ** (k * 0.5) + eps), m, v
+        )
+        return out, ScaleByAdahessianState(count=count, exp_avg=m, exp_hess_sq=v)
+
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
+def hessian_aware_update(
+    tx: optax.GradientTransformation,
+    grads: Any,
+    opt_state: Any,
+    params: Any,
+    *,
+    loss_fn: Optional[Callable] = None,
+    rng=None,
+    use_hessian: bool = False,
+):
+    """tx.update, plus the AdaHessian Hutchinson pass when the optimizer
+    requires one. loss_fn must be the exact (loss, aux)-returning closure
+    the step's gradients came from, so the HVP differentiates the identical
+    program — timm's equivalent reuses the create_graph=True backward."""
+    if not use_hessian:
+        return tx.update(grads, opt_state, params)
+
+    def grad_fn(p):
+        return jax.grad(loss_fn, has_aux=True)(p)[0]
+
+    hd = hutchinson_hessian_diag(grad_fn, params, rng)
+    return tx.update(grads, opt_state, params, hessian_diag=hd)
+
+
 def make_optimizer(
     params: Any,
     lr_schedule: Callable,
@@ -296,9 +420,9 @@ def make_optimizer(
     # The reference's create_optimizer tail (optim_factory.py:100-182). The
     # apex fused variants are CUDA kernels — on TPU every optimizer below is
     # XLA-fused automatically, so `fused*` names map to their plain
-    # counterparts. sgdp/adamp are custom transforms below (torch-parity
-    # tested); adahessian (Hessian-diagonal) has no equivalent and errors
-    # explicitly rather than silently falling back.
+    # counterparts. sgdp/adamp/adahessian are custom transforms above
+    # (torch-parity tested); adahessian additionally needs the engine to
+    # run the Hutchinson pass (hessian_aware_update / use_hessian=True).
     opt_name = opt_name.replace("fused", "") or "adamw"
     lookahead = opt_name.startswith("lookahead_")
     if lookahead:
@@ -363,6 +487,11 @@ def make_optimizer(
                 wd_mask=wd_mask,
             ))
         weight_decay = 0.0  # consumed above; skip the generic wd transform
+    elif opt_name == "adahessian":
+        # second-order path (optim_factory.py:149): the Hessian diagonal
+        # arrives per step via the hessian_diag extra arg; optax.chain /
+        # MultiSteps forward extra args to the transform that declares them
+        chain.append(scale_by_adahessian(b1=betas[0], b2=betas[1], eps=eps))
     else:
         raise ValueError(
             f"optimizer '{opt_name}' is not supported on the TPU build "
@@ -404,6 +533,7 @@ def lookahead_wrapper(
     in the optimizer state), so the engines need no changes: every
     sync_period updates, the emitted update retargets the params onto
     slow + alpha·(fast − slow)."""
+    inner_tx = optax.with_extra_args_support(tx)
 
     def init(params):
         return LookaheadState(
@@ -412,8 +542,8 @@ def lookahead_wrapper(
             count=jnp.zeros([], jnp.int32),
         )
 
-    def update(updates, state, params):
-        updates, inner = tx.update(updates, state.inner, params)
+    def update(updates, state, params=None, **extra):
+        updates, inner = inner_tx.update(updates, state.inner, params, **extra)
         count = state.count + 1
         sync = (count % sync_period) == 0
 
@@ -433,7 +563,7 @@ def lookahead_wrapper(
         )
         return new_updates, LookaheadState(inner=inner, slow=new_slow, count=count)
 
-    return optax.GradientTransformation(init, update)
+    return optax.GradientTransformationExtraArgs(init, update)
 
 
 def freeze_all_except(
@@ -448,12 +578,13 @@ def freeze_all_except(
         return any(t in flat for t in trainable_paths)
 
     trainable = jax.tree_util.tree_map_with_path(mask, params)
+    inner_tx = optax.with_extra_args_support(tx)
 
     def init(params_):
         return tx.init(params_)
 
-    def update(updates, state, params_=None):
-        updates, state = tx.update(updates, state, params_)
+    def update(updates, state, params_=None, **extra):
+        updates, state = inner_tx.update(updates, state, params_, **extra)
         # zero the FINAL update (after lr/wd) — equivalent to the reference's
         # requires_grad_(False) exclusion incl. no weight decay on frozen
         updates = jax.tree_util.tree_map(
@@ -461,7 +592,7 @@ def freeze_all_except(
         )
         return updates, state
 
-    return optax.GradientTransformation(init, update)
+    return optax.GradientTransformationExtraArgs(init, update)
 
 
 def global_norm(tree: Any) -> jnp.ndarray:
