@@ -189,6 +189,29 @@ def test_adahessian_minimizes_quadratic(opt):
     assert float(loss_fn(params)[0]) < 0.05 * l0
 
 
+def test_adahessian_with_grad_accumulation():
+    """update_freq > 1 wraps the chain in optax.MultiSteps — it must forward
+    the hessian_diag extra arg to the inner transform (pins the optax
+    extra-args contract the engines rely on)."""
+    params = {"w": jnp.asarray([2.0, -3.0])}
+    tx = make_optimizer(params, lambda s: 0.3, weight_decay=0.0,
+                        opt_name="adahessian", accum_steps=2)
+    state = tx.init(params)
+
+    def loss_fn(p):
+        return jnp.sum(p["w"] ** 2), ()
+
+    l0 = float(loss_fn(params)[0])
+    for i in range(40):  # 20 boundary updates
+        grads = jax.grad(lambda p: loss_fn(p)[0])(params)
+        updates, state = hessian_aware_update(
+            tx, grads, state, params, loss_fn=loss_fn,
+            rng=jax.random.PRNGKey(i), use_hessian=True,
+        )
+        params = optax.apply_updates(params, updates)
+    assert float(loss_fn(params)[0]) < 0.1 * l0
+
+
 def test_adahessian_through_finetune_engine():
     """make_finetune_train_step(use_hessian=True) traces, runs, and updates:
     the full jvp-of-grad pass through the tiny ViT + adahessian chain
