@@ -212,6 +212,43 @@ def test_adahessian_with_grad_accumulation():
     assert float(loss_fn(params)[0]) < 0.1 * l0
 
 
+def test_adahessian_accumulation_pairs_averaged_grads_and_hessian():
+    """update_freq=2 must (a) emit zero updates on the non-boundary
+    micro-step and (b) apply, at the boundary, exactly the single-step
+    adahessian update computed from the MEAN grads paired with the MEAN
+    Hutchinson estimates — timm's double-backward through the accumulated
+    p.grad differentiates the mean microbatch loss, so its Hessian is the
+    mean of the per-microbatch Hessians, not the last one."""
+    rng = np.random.RandomState(11)
+    p0 = {"kernel": jnp.asarray(rng.randn(3, 2).astype(np.float32))}
+    g1, g2 = (rng.randn(3, 2).astype(np.float32) for _ in range(2))
+    h1, h2 = (rng.randn(3, 2).astype(np.float32) * 1.5 for _ in range(2))
+    lr, wd = 0.05, 0.05
+
+    tx_acc = make_optimizer(p0, lambda s: lr, weight_decay=wd,
+                            opt_name="adahessian", accum_steps=2)
+    st = tx_acc.init(p0)
+    u1, st = tx_acc.update({"kernel": jnp.asarray(g1)}, st, p0,
+                           hessian_diag={"kernel": jnp.asarray(h1)})
+    np.testing.assert_array_equal(np.asarray(u1["kernel"]), 0.0)
+    u2, st = tx_acc.update({"kernel": jnp.asarray(g2)}, st, p0,
+                           hessian_diag={"kernel": jnp.asarray(h2)})
+    got = optax.apply_updates(p0, u2)
+
+    tx_ref = make_optimizer(p0, lambda s: lr, weight_decay=wd,
+                            opt_name="adahessian")
+    st_ref = tx_ref.init(p0)
+    u_ref, _ = tx_ref.update({"kernel": jnp.asarray((g1 + g2) / 2)}, st_ref,
+                             p0, hessian_diag={"kernel": jnp.asarray((h1 + h2) / 2)})
+    want = optax.apply_updates(p0, u_ref)
+    # incremental mean (a + (g-a)/(c+1)) vs (g1+g2)/2 differ by f32 rounding
+    np.testing.assert_allclose(np.asarray(got["kernel"]),
+                               np.asarray(want["kernel"]), rtol=3e-5, atol=1e-7)
+    # accumulators reset after the boundary
+    np.testing.assert_array_equal(np.asarray(st.acc_grads["kernel"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(st.acc_hessian["kernel"]), 0.0)
+
+
 def test_adahessian_through_finetune_engine():
     """make_finetune_train_step(use_hessian=True) traces, runs, and updates:
     the full jvp-of-grad pass through the tiny ViT + adahessian chain

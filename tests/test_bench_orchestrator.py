@@ -104,8 +104,11 @@ def test_orchestrator_crash_still_emits_json(monkeypatch, capsys):
 
 def test_stale_json_shape():
     obj = json.loads(bench._stale_json("why"))
-    assert set(obj) == {
+    required = {
         "metric", "value", "unit", "vs_baseline", "stale",
-        "last_good_from", "error",
+        "fresh_measurement", "last_good_from", "error",
     }
+    # probe_cadence appears only when the round's probe log exists
+    assert required <= set(obj) <= required | {"probe_cadence"}
     assert obj["error"] == "why"
+    assert obj["stale"] is True and obj["fresh_measurement"] is False

@@ -685,6 +685,12 @@ def main(args):
         # and catching NaNs within 2 steps (reference NaN guard semantics,
         # engine_for_finetuning.py:101-103).
         pending: "collections.deque" = collections.deque()
+        # NaN reports must carry the GLOBAL step: epoch*steps_per_epoch+step
+        # diverges from the checkpointed state.step when resuming with
+        # --start_epoch against a checkpointed optimizer step count, so
+        # snapshot the resumed step once per epoch (one host sync, at the
+        # epoch boundary) and add the loop offset (advisor r4)
+        step_base = int(state.step)
 
         def drain_one():
             m, py_step = pending.popleft()
@@ -713,7 +719,7 @@ def main(args):
                 state, metrics = train_step(
                     state, jnp.asarray(images_u8), jnp.asarray(labels), rng, vhw
                 )
-            pending.append((metrics, epoch * steps_per_epoch + step))
+            pending.append((metrics, step_base + step))
             while len(pending) > 2:
                 drain_one()
         while pending:

@@ -368,6 +368,85 @@ def scale_by_adahessian(
     return optax.GradientTransformationExtraArgs(init, update)
 
 
+class MultiStepsHessianState(NamedTuple):
+    mini_step: jnp.ndarray
+    inner_opt_state: Any
+    acc_grads: Any
+    acc_hessian: Any
+
+
+def multi_steps_with_hessian(
+    tx: optax.GradientTransformationExtraArgs, every_k: int
+) -> optax.GradientTransformationExtraArgs:
+    """optax.MultiSteps for the adahessian chain: accumulates the running
+    MEAN of both the grads AND the per-micro-step Hutchinson estimates, and
+    applies the inner update only at the accumulation boundary with the two
+    averages paired. This matches timm Adahessian under update_freq>1, where
+    the double backward at step() differentiates the ACCUMULATED p.grad —
+    the Hessian of the mean microbatch loss (sum of per-microbatch HVPs) —
+    rather than the last microbatch's Hessian. Each micro-step's Hutchinson
+    pass is therefore consumed, not discarded (fresh Rademacher z per
+    micro-step keeps the averaged estimator unbiased for the same
+    diagonal)."""
+
+    def zeros_like_f32(tree):
+        return jax.tree_util.tree_map(
+            lambda t: jnp.zeros(jnp.shape(t), jnp.float32), tree
+        )
+
+    def init(params):
+        return MultiStepsHessianState(
+            mini_step=jnp.zeros([], jnp.int32),
+            inner_opt_state=tx.init(params),
+            acc_grads=zeros_like_f32(params),
+            acc_hessian=zeros_like_f32(params),
+        )
+
+    def update(updates, state, params=None, *, hessian_diag=None, **extra):
+        del extra
+        if hessian_diag is None:
+            raise ValueError(
+                "adahessian needs hessian_diag=... on every micro-step; see"
+                " hessian_aware_update / use_hessian=True"
+            )
+        c = state.mini_step.astype(jnp.float32)
+        acc_g = jax.tree_util.tree_map(
+            lambda a, g: a + (g.astype(jnp.float32) - a) / (c + 1.0),
+            state.acc_grads, updates,
+        )
+        acc_h = jax.tree_util.tree_map(
+            lambda a, d: a + (d.astype(jnp.float32) - a) / (c + 1.0),
+            state.acc_hessian, hessian_diag,
+        )
+        boundary = state.mini_step == every_k - 1
+
+        def do_update(_):
+            new_updates, new_inner = tx.update(
+                acc_g, state.inner_opt_state, params, hessian_diag=acc_h
+            )
+            return new_updates, new_inner, zeros_like_f32(acc_g), zeros_like_f32(acc_h)
+
+        def skip_update(_):
+            return (
+                jax.tree_util.tree_map(jnp.zeros_like, acc_g),
+                state.inner_opt_state,
+                acc_g,
+                acc_h,
+            )
+
+        out, inner, next_g, next_h = jax.lax.cond(
+            boundary, do_update, skip_update, None
+        )
+        return out, MultiStepsHessianState(
+            mini_step=(state.mini_step + 1) % every_k,
+            inner_opt_state=inner,
+            acc_grads=next_g,
+            acc_hessian=next_h,
+        )
+
+    return optax.GradientTransformationExtraArgs(init, update)
+
+
 def hessian_aware_update(
     tx: optax.GradientTransformation,
     grads: Any,
@@ -482,8 +561,10 @@ def make_optimizer(
                 nesterov=True, wd_schedule=sched, wd_mask=wd_mask,
             ))
         else:
+            # eps feeds the projection's cosine clamp; the reference passes
+            # opt_args (incl. args.opt_eps) into SGDP (optim_factory.py:141)
             chain.append(scale_by_sgdp(
-                momentum=momentum, nesterov=True, wd_schedule=sched,
+                momentum=momentum, nesterov=True, eps=eps, wd_schedule=sched,
                 wd_mask=wd_mask,
             ))
         weight_decay = 0.0  # consumed above; skip the generic wd transform
@@ -514,7 +595,14 @@ def make_optimizer(
     if lookahead:
         tx = lookahead_wrapper(tx)
     if accum_steps > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+        if opt_name == "adahessian":
+            # pair the boundary update with the MEAN of the per-micro-step
+            # Hutchinson estimates (timm double-backprops the accumulated
+            # p.grad = Hessian of the mean microbatch loss); plain MultiSteps
+            # would pair averaged grads with the LAST micro-step's Hessian
+            tx = multi_steps_with_hessian(tx, accum_steps)
+        else:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
     return tx
 
 
