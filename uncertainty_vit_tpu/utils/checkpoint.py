@@ -173,20 +173,51 @@ def _apply_transform(value: np.ndarray, transform: str) -> np.ndarray:
     return value
 
 
+def _torch_bicubic_weights(in_size: int, out_size: int) -> np.ndarray:
+    """Row-stochastic (out_size, in_size) matrix reproducing
+    torch.nn.functional.interpolate(mode='bicubic', align_corners=False,
+    antialias=False) along one axis: half-pixel source centers, 4-tap cubic
+    convolution with A=-0.75 (torch/OpenCV convention — NOT the Keys A=-0.5
+    that jax.image.resize uses), border-clamped taps."""
+    a = -0.75
+
+    def kernel(x):
+        ax = np.abs(x)
+        return np.where(
+            ax <= 1.0,
+            ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0,
+            np.where(ax < 2.0, a * (((ax - 5.0) * ax + 8.0) * ax - 4.0), 0.0),
+        )
+
+    scale = in_size / out_size
+    i = np.arange(out_size)
+    center = (i + 0.5) * scale - 0.5
+    i0 = np.floor(center).astype(np.int64)
+    t = center - i0
+    w_mat = np.zeros((out_size, in_size), np.float64)
+    for k in range(-1, 3):
+        w = kernel(k - t)
+        idx = np.clip(i0 + k, 0, in_size - 1)
+        np.add.at(w_mat, (i, idx), w)
+    return w_mat
+
+
 def interpolate_pos_embed(pos: np.ndarray, dst_num_patches: int) -> np.ndarray:
     """Bicubic abs-pos-embed interpolation (run_class_finetuning.py:496-518):
-    the cls slot passes through; the patch grid is resized."""
+    the cls slot passes through; the patch grid is resized with the exact
+    torch bicubic semantics (A=-0.75, align_corners=False) the reference's
+    F.interpolate call uses — value-parity-tested against torch in
+    tests/test_checkpoint.py."""
     num_extra = pos.shape[1] - int(round((pos.shape[1] - 1) ** 0.5)) ** 2
     src_size = int(round((pos.shape[1] - num_extra) ** 0.5))
     dst_size = int(round(dst_num_patches**0.5))
     if src_size == dst_size:
         return pos
     extra = pos[:, :num_extra]
-    grid = pos[:, num_extra:].reshape(1, src_size, src_size, -1)
-    resized = jax.image.resize(
-        jnp.asarray(grid), (1, dst_size, dst_size, grid.shape[-1]), method="bicubic"
-    )
-    resized = np.asarray(resized).reshape(1, dst_size * dst_size, -1)
+    grid = pos[:, num_extra:].reshape(src_size, src_size, -1).astype(np.float64)
+    w = _torch_bicubic_weights(src_size, dst_size)
+    resized = np.einsum("yh,hwc,xw->yxc", w, grid, w)
+    resized = resized.reshape(1, dst_size * dst_size, -1).astype(pos.dtype)
     return np.concatenate([extra, resized], axis=1)
 
 
