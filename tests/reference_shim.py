@@ -154,3 +154,18 @@ def load_reference():
         sys.path.remove(REFERENCE_DIR)
     _cache = (modeling_finetune, modeling_cyclical)
     return _cache
+
+
+def load_reference_module(name):
+    """Import one more REAL reference module under the same shims
+    (modeling_finetune_dist / modeling_pretrain / modeling_cyclical_joint —
+    VERDICT r4 item 5). modeling_finetune must load first: it installs the
+    shared registry entries and the modeling_finetune_try import chain."""
+    load_reference()
+    import importlib
+
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        return importlib.import_module(name)
+    finally:
+        sys.path.remove(REFERENCE_DIR)

@@ -16,9 +16,11 @@ import torch
 import jax
 import jax.numpy as jnp
 
-from tests.reference_shim import load_reference
+from tests.reference_shim import load_reference, load_reference_module
 from uncertainty_vit_tpu.core.config import get_preset
 from uncertainty_vit_tpu.models.cyclical import CyclicalViT
+from uncertainty_vit_tpu.models.dist_vit import DistVisionTransformer
+from uncertainty_vit_tpu.models.mim import JointViT, MIMViT
 from uncertainty_vit_tpu.models.vit import VisionTransformer
 from uncertainty_vit_tpu.utils import checkpoint as C
 
@@ -126,3 +128,130 @@ def test_cyclical_vitb_teacher_and_student_parity_vs_reference_code(reference):
         mask_np.reshape(-1).astype(bool)
     ]
     np.testing.assert_allclose(picked, ref_student, rtol=RTOL, atol=ATOL)
+
+
+def _import_into(ours_model, init_args, torch_model):
+    """eval_shape template → production importer → (params, missing, unused)."""
+    template = jax.eval_shape(ours_model.init, jax.random.PRNGKey(0), *init_args)["params"]
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), template
+    )
+    return C.import_torch_params(_state_dict_np(torch_model), template)
+
+
+def test_dist_vitb_parity_vs_reference_code(reference):
+    """DistVisionTransformer (modeling_finetune_dist.py:181-326) through the
+    dist_beit_base_patch16_224 registry entry (modeling_finetune.py:1231-1239)
+    with the recipe's init_values=0.1 (required: the dist Block compares
+    init_values > 0 against None otherwise) — full ViT-B dual-stream
+    Wasserstein-attention forward, (mean, cov, logits) all compared."""
+    mf, _ = reference
+    tm = mf.dist_beit_base_patch16_224(
+        pretrained=False, pretrained_cfg=None, pretrained_cfg_overlay=None,
+        num_classes=10, use_shared_rel_pos_bias=True, init_values=0.1,
+    )
+    tm.eval()
+    x, xt = _images()
+    with torch.no_grad():
+        ref_mean, ref_cov, ref_logits = (t.numpy() for t in tm(xt))
+
+    cfg = get_preset(
+        "beit_base_patch16_224", num_classes=10, use_shared_rel_pos_bias=True,
+        init_values=0.1, use_flash_attention=False,
+    )
+    ours = DistVisionTransformer(cfg=cfg)
+    params, missing, unused = _import_into(ours, (x,), tm)
+    assert not missing, missing
+    assert all("relative_position_index" in u for u in unused), unused
+
+    mean, cov, logits = ours.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(mean), ref_mean, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(cov), ref_cov, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=RTOL, atol=ATOL)
+
+
+def test_mim_vitb_parity_vs_reference_code(reference):
+    """VisionTransformerForMaskedImageModeling (modeling_pretrain.py:32-136)
+    via beit_base_patch16_224_8k_vocab (:139-153): full-vocab logits over all
+    patch tokens (return_all_tokens=True) AND the masked-gather default path
+    against our row-major gather."""
+    mp_mod = load_reference_module("modeling_pretrain")
+    tm = mp_mod.beit_base_patch16_224_8k_vocab(
+        pretrained=False, num_classes=0,
+        use_shared_rel_pos_bias=True, init_values=0.1,
+    )
+    tm.eval()
+    x, xt = _images()
+    rs = np.random.RandomState(1)
+    mask_np = (rs.rand(B, 196) < 0.4).astype(np.float32)
+    mask_t = torch.from_numpy(mask_np).bool()
+    mask_j = jnp.asarray(mask_np)
+
+    with torch.no_grad():
+        ref_all = tm(xt, mask_t, return_all_tokens=True).numpy()
+        ref_masked = tm(xt, mask_t).numpy()
+
+    cfg = get_preset(
+        "beit_base_patch16_224", use_shared_rel_pos_bias=True,
+        init_values=0.1, use_flash_attention=False,
+    )
+    ours = MIMViT(cfg=cfg, vocab_size=8192)
+    params, missing, unused = _import_into(ours, (x, mask_j), tm)
+    assert not missing, missing
+    assert all("relative_position_index" in u for u in unused), unused
+
+    out = ours.apply({"params": params}, x, mask_j, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), ref_all, rtol=RTOL, atol=ATOL)
+    picked = np.asarray(out).reshape(B * 196, -1)[mask_np.reshape(-1).astype(bool)]
+    np.testing.assert_allclose(picked, ref_masked, rtol=RTOL, atol=ATOL)
+
+
+def test_joint_vitb_parity_vs_reference_code(reference):
+    """VisionTransformerForCyclicalJointTraining (modeling_cyclical_joint.py:
+    32-220) via beit_base_joint_patch16_224 (:202-220): the 2-layer-MLP
+    lm_head + beit_head pair over all tokens, the masked-gather pair, and the
+    teacher layer_results mode (12 un-normed block outputs, cls stripped)."""
+    mj = load_reference_module("modeling_cyclical_joint")
+    tm = mj.beit_base_joint_patch16_224(
+        pretrained=False, num_classes=0,
+        use_shared_rel_pos_bias=True, init_values=0.1,
+    )
+    tm.eval()
+    x, xt = _images()
+    rs = np.random.RandomState(2)
+    mask_np = (rs.rand(B, 196) < 0.4).astype(np.float32)
+    mask_t = torch.from_numpy(mask_np).bool()
+    mask_j = jnp.asarray(mask_np)
+
+    with torch.no_grad():
+        ref_lm_all, ref_beit_all = (t.numpy() for t in
+                                    tm(xt, mask_t, return_all_tokens=True))
+        ref_lm_m, ref_beit_m = (t.numpy() for t in tm(xt, mask_t))
+        ref_layers = [z.numpy() for z in tm(xt, None, layer_results=True)]
+
+    cfg = get_preset(
+        "beit_base_patch16_224", use_shared_rel_pos_bias=True,
+        init_values=0.1, use_flash_attention=False,
+    )
+    ours = JointViT(cfg=cfg, vocab_size=8192)
+    params, missing, unused = _import_into(ours, (x, mask_j), tm)
+    assert not missing, missing
+    assert all("relative_position_index" in u for u in unused), unused
+
+    lm_all, beit_all = ours.apply({"params": params}, x, mask_j, deterministic=True)
+    np.testing.assert_allclose(np.asarray(lm_all), ref_lm_all, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(beit_all), ref_beit_all, rtol=RTOL, atol=ATOL)
+    sel = mask_np.reshape(-1).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(lm_all).reshape(B * 196, -1)[sel], ref_lm_m, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(beit_all).reshape(B * 196, -1)[sel], ref_beit_m, rtol=RTOL, atol=ATOL)
+
+    out_layers = ours.apply(
+        {"params": params}, x, None, layer_results="end", deterministic=True
+    )
+    assert len(out_layers) == len(ref_layers) == 12
+    for i, (a, r) in enumerate(zip(out_layers, ref_layers)):
+        np.testing.assert_allclose(
+            np.asarray(a), r, rtol=RTOL, atol=ATOL, err_msg=f"layer {i}"
+        )
