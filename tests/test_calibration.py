@@ -81,3 +81,63 @@ def test_cli_flag_parses_and_guards():
     args = FT.get_args_parser().parse_args(
         ["--eval", "--temp_scaling", "--laplace"])
     assert args.temp_scaling and args.laplace
+
+
+def test_heldout_split_properties():
+    import pytest
+
+    fit, rep = CAL.heldout_split(100, 0.1, seed=3)
+    assert fit.shape[0] == 10 and rep.shape[0] == 90
+    assert not set(fit) & set(rep)
+    assert sorted(np.concatenate([fit, rep])) == list(range(100))
+    # deterministic under the same seed, different under another
+    fit2, _ = CAL.heldout_split(100, 0.1, seed=3)
+    np.testing.assert_array_equal(fit, fit2)
+    assert not np.array_equal(fit, CAL.heldout_split(100, 0.1, seed=4)[0])
+    # both sides non-empty at the extremes
+    fit, rep = CAL.heldout_split(2, 0.9, seed=0)
+    assert fit.shape[0] == 1 and rep.shape[0] == 1
+    with pytest.raises(ValueError):
+        CAL.heldout_split(1, 0.1)
+    with pytest.raises(ValueError):
+        CAL.heldout_split(100, 0.0)
+    with pytest.raises(ValueError):
+        CAL.heldout_split(100, 1.0)
+
+
+def test_evaluate_temperature_scaled_heldout():
+    """--temp_scaling_split heldout (VERDICT r4 item 8): T* fits on the
+    carve-out only, metrics are reported on the remainder — leak-free Guo
+    et al. protocol. Same-distribution carve-out recovers nearly the same
+    T as the full-split fit."""
+    import pytest
+
+    logits, labels = _make(3.0, n=2048)
+    batches = [
+        (np.asarray(logits)[i : i + 256], np.asarray(labels)[i : i + 256])
+        for i in range(0, 2048, 256)
+    ]
+    full = CAL.evaluate_temperature_scaled(lambda x: jnp.asarray(x), batches)
+    held = CAL.evaluate_temperature_scaled(
+        lambda x: jnp.asarray(x), batches, heldout_frac=0.25, heldout_seed=7
+    )
+    assert held["heldout_fit_samples"] == 512.0
+    assert abs(held["temperature"] - full["temperature"]) / full["temperature"] < 0.2
+    assert float(held["nll"]) < float(
+        M.classification_metrics(logits, labels)["nll"]
+    )
+    with pytest.raises(ValueError, match="not both"):
+        CAL.evaluate_temperature_scaled(
+            lambda x: jnp.asarray(x), batches, fit_batches=batches[:1],
+            heldout_frac=0.1,
+        )
+
+
+def test_cli_heldout_flag_parses():
+    from uncertainty_vit_tpu.cli import finetune as FT
+
+    args = FT.get_args_parser().parse_args(
+        ["--eval", "--temp_scaling", "--temp_scaling_split", "heldout",
+         "--temp_scaling_heldout_frac", "0.2"])
+    assert args.temp_scaling_split == "heldout"
+    assert args.temp_scaling_heldout_frac == 0.2

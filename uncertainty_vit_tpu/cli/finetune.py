@@ -87,13 +87,19 @@ def get_args_parser():
                         "calibration baseline the reference's metric suite "
                         "measures against but never provides "
                         "(evals/calibration.py)")
-    g.add_argument("--temp_scaling_split", choices=["eval", "train"],
+    g.add_argument("--temp_scaling_split", choices=["eval", "train", "heldout"],
                    default="eval",
                    help="where to fit T*: 'eval' fits the one scalar on the "
                         "reported split (standard when no held-out "
-                        "calibration set exists; negligible leak), 'train' "
-                        "matches the Laplace protocol (sound only for "
-                        "underfit models — near-zero train NLL gives T*~1)")
+                        "calibration set exists; negligible leak), 'heldout' "
+                        "carves --temp_scaling_heldout_frac of eval for the "
+                        "fit and reports on the remainder (Guo et al. "
+                        "protocol, leak-free), 'train' matches the Laplace "
+                        "protocol (sound only for underfit models — "
+                        "near-zero train NLL gives T*~1)")
+    g.add_argument("--temp_scaling_heldout_frac", type=float, default=0.1,
+                   help="fraction of the eval split carved out as the T* fit "
+                        "set under --temp_scaling_split heldout")
     g.add_argument("--lambda_finetuning", type=float, default=1e-4)
     g.add_argument("--lambda_pvn", type=float, default=1e-4)
     e = p.add_argument_group("evaluation")
@@ -521,6 +527,9 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
         )
         results["temp_scaling"] = CAL.evaluate_temperature_scaled(
             fwd, batches(), fit_batches=fit_batches,
+            heldout_frac=(args.temp_scaling_heldout_frac
+                          if args.temp_scaling_split == "heldout" else None),
+            heldout_seed=args.seed,
         )
         print(f"temperature scaling: T* = "
               f"{results['temp_scaling']['temperature']:.4f}", flush=True)

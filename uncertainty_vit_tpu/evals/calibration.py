@@ -97,27 +97,63 @@ def fit_temperature(
 from uncertainty_vit_tpu.evals.collect import collect_logits  # noqa: E402
 
 
+def heldout_split(
+    n: int, frac: float, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic (fit_idx, report_idx) carve-out of an n-sample set:
+    a seeded shuffle, first ceil(frac·n) samples fit T*, the rest are
+    reported on — the Guo et al. held-out protocol when the dataset ships
+    no calibration split. Both sides are guaranteed non-empty for n ≥ 2."""
+    if not 0.0 < frac < 1.0:
+        raise ValueError(f"heldout fraction must be in (0, 1), got {frac}")
+    if n < 2:
+        raise ValueError(f"cannot carve a held-out split from {n} samples")
+    k = min(max(int(np.ceil(frac * n)), 1), n - 1)
+    perm = np.random.RandomState(seed).permutation(n)
+    return perm[:k], perm[k:]
+
+
 def evaluate_temperature_scaled(
     forward: Callable,
     eval_batches: Iterable,
     fit_batches: Optional[Iterable] = None,
+    heldout_frac: Optional[float] = None,
+    heldout_seed: int = 0,
 ) -> Dict[str, float]:
-    """Fit T (on fit_batches if given, else on the eval split itself — see
-    module doc) and report the calibration suite at logits/T*. log-probs
-    are valid 'logits' for every metric (softmax(log p) = p)."""
+    """Fit T (on fit_batches if given; else on a held-out carve-out of the
+    eval split when heldout_frac is set — Guo et al. protocol; else on the
+    eval split itself — see module doc) and report the calibration suite at
+    logits/T*. log-probs are valid 'logits' for every metric
+    (softmax(log p) = p)."""
     from uncertainty_vit_tpu.evals import metrics as M
 
+    if fit_batches is not None and heldout_frac is not None:
+        raise ValueError("pass fit_batches OR heldout_frac, not both")
+
     logits, labels = collect_logits(forward, eval_batches)
-    if fit_batches is None:
-        fit_logits, fit_labels = logits, labels
-    else:
+    n_heldout = 0
+    if fit_batches is not None:
         fit_logits, fit_labels = collect_logits(
             forward, fit_batches, allow_empty=jax.process_count() > 1
         )
+    elif heldout_frac is not None:
+        # per-host carve-out: each host splits its local shard; the fit
+        # still gathers all hosts' fit subsets inside fit_temperature
+        fit_idx, rep_idx = heldout_split(
+            int(np.shape(labels)[0]), heldout_frac, heldout_seed
+        )
+        logits, labels = np.asarray(logits), np.asarray(labels)
+        fit_logits, fit_labels = logits[fit_idx], labels[fit_idx]
+        logits, labels = logits[rep_idx], labels[rep_idx]
+        n_heldout = int(fit_idx.shape[0])
+    else:
+        fit_logits, fit_labels = logits, labels
     t = fit_temperature(jnp.asarray(fit_logits), jnp.asarray(fit_labels))
 
     out = M.classification_metrics(jnp.asarray(logits) / t, jnp.asarray(labels))
     out["loss"] = out["nll"]
     out = {k: float(v) for k, v in out.items()}
     out["temperature"] = t
+    if heldout_frac is not None:
+        out["heldout_fit_samples"] = float(n_heldout)
     return out
