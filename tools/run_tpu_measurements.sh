@@ -40,5 +40,9 @@ timeout 2400 python -u tools/bench_loop.py --mode both 2>&1 | tee "$OUT/loop.log
 echo "== stage 5: headline bench"
 timeout 2400 python -u bench.py 2>&1 | tee "$OUT/bench.log" | tail -2
 
+echo "== stage 6: full-depth MC-dropout ladder (fused in-kernel dropout)"
+timeout 2400 python -u tools/bench_mc_dropout.py --selftest \
+  2>&1 | tee "$OUT/mc_dropout.log" | tail -6
+
 echo "== done — summarize into PARITY.md / README.md and update"
 echo "   bench.py LAST_GOOD_VALUE if the headline moved"

@@ -29,3 +29,9 @@ def setup_jax(compilation_cache_dir: str = "/root/.cache/jax_comp") -> None:
             _FA.BOUNDED_SCORES = True
         if os.environ.get("UVIT_ATTN_LSE_BF16", "") == "1":
             _FA.LSE_DTYPE = jnp.bfloat16
+
+    # Fused in-kernel-PRNG dropout (ops/dropout.py, MC-dropout eval only)
+    if os.environ.get("UVIT_FUSED_DROPOUT", "") == "1":
+        from uncertainty_vit_tpu.ops import dropout as _DO
+
+        _DO.FUSED = True

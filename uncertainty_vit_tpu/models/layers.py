@@ -59,6 +59,19 @@ def _use_quant(quant: str, x: jnp.ndarray, features: int) -> bool:
     return jax.default_backend() == "tpu" or quant_ops.INTERPRET
 
 
+def _dropout(mod: nn.Module, x: jnp.ndarray, rate: float, deterministic: bool):
+    """nn.Dropout, or the fused in-kernel-PRNG Pallas dropout when
+    ops.dropout.FUSED is set (trace-time, MC-dropout eval only — see
+    ops/dropout.py). Same inverted-dropout math; different mask stream."""
+    if deterministic or rate == 0.0:
+        return x
+    from uncertainty_vit_tpu.ops import dropout as fused
+
+    if fused.FUSED and fused.supported(x):
+        return fused.fused_dropout(x, float(rate), mod.make_rng("dropout"))
+    return nn.Dropout(rate, deterministic=False)(x)
+
+
 def _quant_seed(mod: nn.Module, deterministic: bool) -> jnp.ndarray:
     """int32 [1] seed for the gradient stochastic rounding. Each call
     consumes one 'quant' rng fold; eval (no backward) gets a fixed seed."""
@@ -190,7 +203,7 @@ class Mlp(nn.Module):
             features=self.out_dim, kernel_init=fc2_init, dtype=self.dtype,
             quant=self.quant, name="fc2",
         )(x, out_scale, deterministic)
-        x = nn.Dropout(self.drop, deterministic=deterministic)(x)
+        x = _dropout(self, x, self.drop, deterministic)
         return x
 
 
@@ -379,7 +392,7 @@ class Attention(nn.Module):
             features=self.dim, kernel_init=proj_init, dtype=self.dtype,
             quant=self.quant, name="proj",
         )(out, out_scale, deterministic)
-        out = nn.Dropout(self.proj_drop, deterministic=deterministic)(out)
+        out = _dropout(self, out, self.proj_drop, deterministic)
         return out
 
 
