@@ -229,3 +229,25 @@ def test_make_optimizer_default_wd_actually_decays():
         # chain ends with -lr scaling: update = -lr·wd·(ratio)·p ≠ 0
         mag = float(jnp.abs(upd["w"]).max())
         assert mag > 1e-5, (name, mag)
+
+
+def test_make_optimizer_forwards_eps_to_sgdp():
+    """Regression (advisor r4): --opt_eps must reach SGDP's projection
+    cosine clamp, not silently keep the 1e-8 default. In the orthogonal
+    regime (p ⟂ g) the projection fires iff cos < delta/sqrt(dim)·(~eps
+    slack); a HUGE eps inflates the cosine-similarity denominator's
+    view-max clamp, flipping the projection decision — the two
+    temperatures must produce different updates. adamp already forwarded
+    eps; pin both."""
+    rs = np.random.RandomState(5)
+    p = {"w": jnp.asarray(rs.randn(8, 8).astype(np.float32))}
+    # gradient orthogonal-ish to p so the scale-invariant branch is live
+    g = {"w": jnp.asarray(rs.randn(8, 8).astype(np.float32))}
+    for name in ("sgdp", "adamp"):
+        upds = []
+        for eps in (1e-8, 1e3):  # absurd eps makes the difference visible
+            tx = make_optimizer(p, lambda s: 0.1, weight_decay=0.05,
+                                opt_name=name, eps=eps)
+            upd, _ = tx.update(g, tx.init(p), p)
+            upds.append(np.asarray(upd["w"]))
+        assert not np.allclose(upds[0], upds[1]), name
