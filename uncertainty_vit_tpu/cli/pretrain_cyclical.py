@@ -202,6 +202,10 @@ def main(args):
         # keeps dispatch ~2 steps ahead of the blocking float(loss) sync
         # while still catching NaNs within 2 steps.
         pending: "collections.deque" = collections.deque()
+        # NaN reports carry the GLOBAL step (diverges from
+        # epoch*steps_per_epoch+step on --start_epoch resumes; advisor r4,
+        # same fix as cli/finetune.py)
+        step_base = int(state.step)
 
         def drain_one():
             m, py_step = pending.popleft()
@@ -223,7 +227,7 @@ def main(args):
             # covers the full original image (--decode_letterbox)
             vhw = jnp.asarray(batch[1]) if len(batch) == 3 else None
             state, metrics = train_step(state, jnp.asarray(images_u8), rng, vhw)
-            pending.append((metrics, epoch * steps_per_epoch + step))
+            pending.append((metrics, step_base + step))
             while len(pending) > 2:
                 drain_one()
         while pending:
