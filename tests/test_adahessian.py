@@ -249,6 +249,45 @@ def test_adahessian_accumulation_pairs_averaged_grads_and_hessian():
     np.testing.assert_array_equal(np.asarray(st.acc_hessian["kernel"]), 0.0)
 
 
+def test_adahessian_accumulation_through_jitted_engine():
+    """update_freq=2 through the REAL jitted finetune step: params frozen on
+    the mini-step, moved at the boundary — multi_steps_with_hessian's
+    lax.cond must trace inside the engine jit with the Hutchinson pass."""
+    from uncertainty_vit_tpu.core.config import ViTConfig
+    from uncertainty_vit_tpu.models.vit import VisionTransformer
+    from uncertainty_vit_tpu.train.engine_finetune import (
+        FinetuneHParams, init_finetune_state, make_finetune_train_step,
+    )
+
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=16, depth=2,
+                    num_heads=2, num_classes=5, use_flash_attention=False)
+    model = VisionTransformer(cfg=cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    labels = jnp.asarray([0, 1, 2, 3])
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images)["params"]
+    tx = make_optimizer(params, lambda s: 1e-2, weight_decay=0.05,
+                        opt_name="adahessian", accum_steps=2)
+    hp = FinetuneHParams(num_classes=5, mixup_active=False,
+                         label_smoothing=0.0, num_patches=cfg.num_patches,
+                         update_freq=2)
+    state = init_finetune_state(model, tx, jax.random.PRNGKey(0), images)
+    state = state.replace(params=params, opt_state=tx.init(params))
+    p0 = jax.tree_util.tree_map(np.asarray, params)
+    step = make_finetune_train_step(model, tx, hp, use_hessian=True)
+
+    state, _ = step(state, images, labels, jax.random.PRNGKey(7))
+    frozen = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - np.asarray(b)))), p0, state.params
+    )
+    assert max(jax.tree_util.tree_leaves(frozen)) == 0.0  # mini-step: frozen
+
+    state, _ = step(state, images, labels, jax.random.PRNGKey(7))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - np.asarray(b)))), p0, state.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0  # boundary: applied
+
+
 def test_adahessian_through_finetune_engine():
     """make_finetune_train_step(use_hessian=True) traces, runs, and updates:
     the full jvp-of-grad pass through the tiny ViT + adahessian chain
