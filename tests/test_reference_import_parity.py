@@ -255,3 +255,105 @@ def test_joint_vitb_parity_vs_reference_code(reference):
         np.testing.assert_allclose(
             np.asarray(a), r, rtol=RTOL, atol=ATOL, err_msg=f"layer {i}"
         )
+
+
+def test_sngp_spectral_fcnorm_parity_vs_reference_code(reference):
+    """--sngp (modeling_finetune.py:413-421): spectral_norm(BertLinear)
+    replaces fc_norm and the plain Linear head survives (the documented
+    head-overwrite). Torch training forwards first run a few power
+    iterations so the stored (u, v) buffers move off their init; the
+    importer must carry weight_orig AND those buffers (sngp.py:92 computes
+    eval sigma from the STORED vectors) for logits to match."""
+    mf, _ = reference
+    # --sngp constructs the SNGP module before the head overwrite, and its
+    # __init__ hard-codes torch.device('cuda') (modeling_finetune.py:560) —
+    # pin it to cpu for the CPU oracle
+    import unittest.mock as mock
+
+    real_device = torch.device
+    with mock.patch.object(torch, "device", lambda *a, **k: real_device("cpu")):
+        tm = mf.beit_base_patch16_224(
+            pretrained=False, pretrained_cfg=None, pretrained_cfg_overlay=None,
+            num_classes=10, use_shared_rel_pos_bias=True, init_values=0.1,
+            sngp=True,
+        )
+    x, xt = _images()
+    tm.train()
+    with torch.no_grad():
+        for _ in range(3):  # power-iterate (u, v); drop rates are all 0
+            tm(xt)
+    tm.eval()
+    with torch.no_grad():
+        ref_logits = tm(xt).numpy()
+
+    from uncertainty_vit_tpu.utils.checkpoint import import_torch_spectral_stats
+
+    cfg = get_preset(
+        "beit_base_patch16_224", num_classes=10, use_shared_rel_pos_bias=True,
+        init_values=0.1, use_flash_attention=False,
+        sngp_fc_norm=True, head_type="linear",
+    )
+    ours = VisionTransformer(cfg=cfg)
+    variables = jax.eval_shape(ours.init, jax.random.PRNGKey(0), x)
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables["params"]
+    )
+    sd = _state_dict_np(tm)
+    params, missing, unused = C.import_torch_params(sd, template)
+    assert not missing, missing
+    # spectral buffers are consumed by the stats importer, not the params one
+    assert all(
+        "relative_position_index" in u or u.endswith(("weight_u", "weight_v"))
+        for u in unused
+    ), unused
+    stats_template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), variables["spectral_stats"]
+    )
+    stats, found = import_torch_spectral_stats(sd, stats_template)
+    assert found
+    logits = ours.apply(
+        {"params": params, "spectral_stats": stats}, x, deterministic=True
+    )
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=RTOL, atol=ATOL)
+
+    # withholding the buffers must BREAK parity (proves sigma really comes
+    # from the imported u/v, not from something shape-compatible)
+    logits_bad = ours.apply(
+        {"params": params, "spectral_stats": stats_template}, x,
+        deterministic=True,
+    )
+    # relative-only: head init_scale=0.001 makes the logits tiny, so the
+    # ~13% spectral-rescale difference hides inside an absolute tolerance
+    assert not np.allclose(np.asarray(logits_bad), ref_logits, rtol=RTOL, atol=0.0)
+
+
+def test_sinkformer_parity_vs_reference_code(reference, monkeypatch):
+    """--sinkformer (modeling_finetune.py:171-178 + sinkhorn.py:9-74):
+    Sinkhorn-normalized attention (3 log-domain iterations, transport plan
+    x N). The reference's trailing `.half()` is an AMP-era artifact that
+    crashes on a CPU f32 model (Half @ Float) and merely quantizes the
+    attention matrix on GPU — neutralized here to compare the mathematical
+    path at f32 (our TPU kernel runs bf16 anyway; documented divergence)."""
+    mf, _ = reference
+    monkeypatch.setattr(torch.Tensor, "half", lambda self: self)
+    tm = mf.beit_base_patch16_224(
+        pretrained=False, pretrained_cfg=None, pretrained_cfg_overlay=None,
+        num_classes=10, use_shared_rel_pos_bias=True, init_values=0.1,
+        sinkformer=True,
+    )
+    tm.eval()
+    x, xt = _images()
+    with torch.no_grad():
+        ref_logits = tm(xt).numpy()
+
+    cfg = get_preset(
+        "beit_base_patch16_224", num_classes=10, use_shared_rel_pos_bias=True,
+        init_values=0.1, use_flash_attention=False, attn_variant="sinkformer",
+    )
+    ours = VisionTransformer(cfg=cfg)
+    params, missing, unused = _import_into(ours, (x,), tm)
+    assert not missing, missing
+    assert all("relative_position_index" in u for u in unused), unused
+
+    logits = ours.apply({"params": params}, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=RTOL, atol=ATOL)

@@ -248,6 +248,14 @@ def load_variables(args, model, sample, return_missing: bool = False):
             print(f"imported {args.finetune}: {len(missing)} missing, {len(unused)} unused",
                   flush=True)
             variables = dict(variables, params=params)
+            if "spectral_stats" in variables:
+                # --sngp checkpoints carry the power-iteration buffers;
+                # eval-mode sigma needs the STORED u/v (sngp.py:92)
+                stats, found = C.import_torch_spectral_stats(
+                    sd, variables["spectral_stats"]
+                )
+                if found:
+                    variables = dict(variables, spectral_stats=stats)
         else:
             restored = C.restore_checkpoint(args.finetune, None)
             src = restored.get("params", restored) if isinstance(restored, dict) else restored

@@ -149,6 +149,16 @@ def _torch_key_for(path: Tuple[str, ...]) -> Optional[Tuple[str, str]]:
             return pre + rest[0], "id"
         return None
 
+    if parts[0] == "fc_norm_sn":
+        # --sngp replaces fc_norm with spectral_norm(BertLinear)
+        # (modeling_finetune.py:413-414; sngp.py:43-98): the torch hook
+        # stores the unnormalized weight as fc_norm.weight_orig — sigma is
+        # recomputed from the (weight_u, weight_v) buffers at forward, see
+        # import_torch_spectral_stats
+        if name == "kernel":
+            return "fc_norm.weight_orig", "linear_w"
+        return "fc_norm.bias", "id"
+
     # heads / norms
     dense_like = {
         "head": "head", "lm_head": "lm_head", "cov_lm_head": "cov_lm_head",
@@ -330,6 +340,33 @@ def import_torch_params(
     params = jax.tree_util.tree_unflatten(treedef, out_leaves)
     unused = [k for k in sd if k not in used]
     return params, missing, unused
+
+
+def import_torch_spectral_stats(
+    state_dict: Dict[str, np.ndarray], stats_template: Any
+) -> Tuple[Any, bool]:
+    """Fill the 'spectral_stats' collection (power-iteration u/v of
+    models.heads.SpectralNormDense) from a reference --sngp checkpoint's
+    fc_norm.weight_u / fc_norm.weight_v buffers (sngp.py:43-98: eval-mode
+    sigma = u·(W v) uses the STORED vectors — importing weight_orig without
+    them would normalize by a sigma estimated from freshly-initialized
+    vectors). Returns (stats, found): found=False when the checkpoint has no
+    spectral buffers (template returned unchanged)."""
+    names = {"u": "fc_norm.weight_u", "v": "fc_norm.weight_v"}
+    if not any(k in state_dict for k in names.values()):
+        return stats_template, False
+
+    flat = jax.tree_util.tree_flatten_with_path(stats_template)[0]
+    treedef = jax.tree_util.tree_structure(stats_template)
+    out = []
+    for path, leaf in flat:
+        keypath = tuple(str(getattr(p, "key", p)) for p in path)
+        tkey = names.get(keypath[-1]) if "fc_norm_sn" in keypath else None
+        if tkey and tkey in state_dict and np.shape(state_dict[tkey]) == leaf.shape:
+            out.append(jnp.asarray(state_dict[tkey], dtype=leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out), True
 
 
 def _dvae_torch_key_for(path: Tuple[str, ...], num_layers: int) -> Optional[Tuple[str, str]]:
