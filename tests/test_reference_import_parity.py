@@ -357,3 +357,64 @@ def test_sinkformer_parity_vs_reference_code(reference, monkeypatch):
 
     logits = ours.apply({"params": params}, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(logits), ref_logits, rtol=RTOL, atol=ATOL)
+
+
+def test_dist_cyclical_parity_vs_reference_code(reference):
+    """DistVisionTransformerForCyclicalTraining (modeling_cyclical_dist.py:
+    14-166) via modeling_cyclical's dist_beit_base_patch16_224 (:305-324):
+    the dual-stream pretrainer's teacher mode (12 per-layer mean/cov pairs)
+    and both student head modes (all-token + masked-gather) against
+    DistCyclicalViT through the importer."""
+    _, mc = reference
+    tm = mc.dist_beit_base_patch16_224(
+        pretrained=False, pretrained_cfg=None, pretrained_cfg_overlay=None,
+        use_shared_rel_pos_bias=True, init_values=0.1,
+    )
+    tm.eval()
+    x, xt = _images()
+    rs = np.random.RandomState(3)
+    mask_np = (rs.rand(B, 196) < 0.4).astype(np.float32)
+    mask_t = torch.from_numpy(mask_np)
+    mask_j = jnp.asarray(mask_np)
+
+    with torch.no_grad():
+        ref_mz, ref_cz = tm(xt, None, layer_results="end")
+        ref_mz = [z.numpy() for z in ref_mz]
+        ref_cz = [z.numpy() for z in ref_cz]
+        ref_lm_all, ref_cov_all = (t.numpy() for t in
+                                   tm(xt, mask_t, return_all_tokens=True))
+        ref_lm_m, ref_cov_m = (t.numpy() for t in tm(xt, mask_t))
+
+    from uncertainty_vit_tpu.models.dist_vit import DistCyclicalViT
+
+    cfg = get_preset(
+        "beit_base_patch16_224", use_shared_rel_pos_bias=True,
+        init_values=0.1, use_flash_attention=False,
+    )
+    ours = DistCyclicalViT(cfg=cfg)
+    params, missing, unused = _import_into(ours, (x, mask_j), tm)
+    assert not missing, missing
+    assert all("relative_position_index" in u for u in unused), unused
+
+    mz, cz = ours.apply(
+        {"params": params}, x, None, layer_results="end", deterministic=True
+    )
+    assert len(mz) == len(ref_mz) == 12
+    for i, (a, r) in enumerate(zip(mz, ref_mz)):
+        np.testing.assert_allclose(np.asarray(a), r, rtol=RTOL, atol=ATOL,
+                                   err_msg=f"mean layer {i}")
+    for i, (a, r) in enumerate(zip(cz, ref_cz)):
+        np.testing.assert_allclose(np.asarray(a), r, rtol=RTOL, atol=ATOL,
+                                   err_msg=f"cov layer {i}")
+
+    lm_all, cov_all = ours.apply({"params": params}, x, mask_j,
+                                 deterministic=True)
+    np.testing.assert_allclose(np.asarray(lm_all), ref_lm_all, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(cov_all), ref_cov_all, rtol=RTOL, atol=ATOL)
+    sel = mask_np.reshape(-1).astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(lm_all).reshape(B * 196, -1)[sel], ref_lm_m,
+        rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(cov_all).reshape(B * 196, -1)[sel], ref_cov_m,
+        rtol=RTOL, atol=ATOL)
