@@ -418,3 +418,65 @@ def test_dist_cyclical_parity_vs_reference_code(reference):
     np.testing.assert_allclose(
         np.asarray(cov_all).reshape(B * 196, -1)[sel], ref_cov_m,
         rtol=RTOL, atol=ATOL)
+
+
+def test_sngp_module_component_parity_vs_reference_code(reference):
+    """The SNGP RFF-Laplace module itself (modeling_finetune.py:525-638) vs
+    models.heads.SNGPHead with the torch module's own weights: gp_output,
+    the predictive covariance (return_gp_cov), and one momentum
+    precision-matrix update. Component-level because the reference's only
+    wiring of SNGP — the cyclical gp_layer lm_head — instantiates it with
+    the DEFAULT num_classes=3 (modeling_cyclical.py:133), which crashes its
+    own training loss on the outputs.shape == targets.shape assert
+    (engine_for_cyclical.py:146): no real checkpoint of that path can
+    exist, so ours uses num_classes=embed_dim (documented fix) and the
+    module math is pinned here instead."""
+    import unittest.mock as mock
+
+    from uncertainty_vit_tpu.models.heads import SNGPHead
+
+    mf, _ = reference
+    h, m, c, bsz = 64, 32, 5, 16
+    real_device = torch.device
+    with mock.patch.object(torch, "device", lambda *a, **k: real_device("cpu")):
+        tm = mf.SNGP(h, m, num_classes=c)
+    tm.eval()
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(bsz, h).astype(np.float32)
+    xt = torch.from_numpy(x)
+    with torch.no_grad():
+        p0 = tm.precision_matrix.detach().clone()
+        ref_out, ref_cov = tm(xt, return_gp_cov=True, update_cov=True)
+        ref_out, ref_cov = ref_out.numpy(), ref_cov.numpy()
+        ref_precision = tm.precision_matrix.detach().numpy()
+    assert not torch.allclose(torch.tensor(ref_precision), p0)  # update ran
+
+    ours = SNGPHead(hidden_size=h, num_inducing=m, num_classes=c)
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = {
+        "params": {
+            "input_norm": {
+                "scale": jnp.asarray(sd["_gp_input_normalize_layer.weight"]),
+                "bias": jnp.asarray(sd["_gp_input_normalize_layer.bias"]),
+            },
+            "output_layer": {
+                "kernel": jnp.asarray(sd["_gp_output_layer.weight"].T),
+            },
+        },
+        "sngp_frozen": {
+            "rf_kernel": jnp.asarray(sd["_random_feature.weight"].T),
+            "rf_bias": jnp.asarray(sd["_random_feature.bias"]),
+        },
+        "sngp_state": {"precision_matrix": jnp.asarray(np.asarray(p0))},
+    }
+    (out, cov), mutated = ours.apply(
+        variables, jnp.asarray(x), update_cov=True, return_gp_cov=True,
+        mutable=["sngp_state"],
+    )
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(cov), ref_cov, rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(mutated["sngp_state"]["precision_matrix"]), ref_precision,
+        rtol=RTOL, atol=ATOL,
+    )
