@@ -328,3 +328,48 @@ def test_adahessian_through_finetune_engine():
         lambda a, b: float(np.max(np.abs(a - np.asarray(b)))), p0, state.params
     )
     assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+
+def test_adahessian_with_pallas_attention_enabled():
+    """Regression: the Hutchinson jvp-of-grad must trace even when the model
+    uses the Pallas fused-attention kernel (use_flash_attention=True, the
+    production TPU configuration). Pallas calls have no JVP rule, so
+    hutchinson_hessian_diag stages its jvp under
+    ops.flash_attention.forward_ad_safe(), routing the Hessian sub-graph
+    through the XLA attention while the step's own gradient keeps the
+    kernel. Before that context existed, this test died at trace time with
+    an AssertionError from _pallas_call_jvp_rule (round-5 TPU smoke,
+    reference frame: timm adahessian create_graph=True double-backward)."""
+    import uncertainty_vit_tpu.ops.flash_attention as FA
+    from uncertainty_vit_tpu.core.config import ViTConfig
+    from uncertainty_vit_tpu.models.vit import VisionTransformer
+    from uncertainty_vit_tpu.train.engine_finetune import (
+        FinetuneHParams, init_finetune_state, make_finetune_train_step,
+    )
+
+    # embed 128 / 4 heads → head_dim 32, group 4·32 = 128 lanes: kernel route
+    cfg = ViTConfig(img_size=32, patch_size=16, embed_dim=128, depth=2,
+                    num_heads=4, num_classes=5, use_flash_attention=True)
+    model = VisionTransformer(cfg=cfg)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    labels = jnp.asarray([0, 1, 2, 3])
+    FA.INTERPRET = True
+    try:
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), images)["params"]
+        tx = make_optimizer(params, lambda s: 1e-2, weight_decay=0.05,
+                            opt_name="adahessian")
+        hp = FinetuneHParams(num_classes=5, mixup_active=False,
+                             label_smoothing=0.0, num_patches=cfg.num_patches)
+        state = init_finetune_state(model, tx, jax.random.PRNGKey(0), images)
+        state = state.replace(params=params, opt_state=tx.init(params))
+        p0 = jax.tree_util.tree_map(np.asarray, params)
+        step = make_finetune_train_step(model, tx, hp, use_hessian=True)
+        state, metrics = step(state, images, labels, jax.random.PRNGKey(7))
+        assert np.isfinite(float(metrics["loss"]))
+    finally:
+        FA.INTERPRET = False
+    assert not FA.FORWARD_AD_ONLY  # context restored after tracing
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - np.asarray(b)))), p0, state.params
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0

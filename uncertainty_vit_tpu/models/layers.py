@@ -53,6 +53,10 @@ def _use_quant(quant: str, x: jnp.ndarray, features: int) -> bool:
     shapes, and a TPU backend (or the interpreter, for CPU tests)."""
     if quant != "int8":
         return False
+    from uncertainty_vit_tpu.ops import flash_attention as _fa
+
+    if _fa.FORWARD_AD_ONLY:  # Pallas has no JVP rule; see forward_ad_safe()
+        return False
     m = int(np.prod(x.shape[:-1]))
     if not quant_ops.supported(m, x.shape[-1], features):
         return False
@@ -66,8 +70,9 @@ def _dropout(mod: nn.Module, x: jnp.ndarray, rate: float, deterministic: bool):
     if deterministic or rate == 0.0:
         return x
     from uncertainty_vit_tpu.ops import dropout as fused
+    from uncertainty_vit_tpu.ops import flash_attention as _fa
 
-    if fused.FUSED and fused.supported(x):
+    if fused.FUSED and fused.supported(x) and not _fa.FORWARD_AD_ONLY:
         return fused.fused_dropout(x, float(rate), mod.make_rng("dropout"))
     return nn.Dropout(rate, deterministic=False)(x)
 
@@ -326,6 +331,7 @@ class Attention(nn.Module):
 
         use_kernel = (
             self.use_flash
+            and not _fa.FORWARD_AD_ONLY
             and self.variant == "softmax"
             and kernel_supported(self.num_heads, head_dim, n)
             and (jax.default_backend() == "tpu" or _fa.INTERPRET)

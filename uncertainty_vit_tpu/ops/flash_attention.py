@@ -31,6 +31,7 @@ probability variants and the correctness reference live in ops/attention.py.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -43,6 +44,28 @@ _LANE = 128
 # Set True (tests) to run the kernels in the Pallas interpreter — gives the
 # kernel code path CPU coverage where the suite runs.
 INTERPRET = False
+# Trace-time switch: when True, model code must route attention through the
+# XLA (naive) implementation instead of these kernels. Pallas calls have no
+# JVP rule, so any forward-mode AD over a program containing them fails at
+# trace time (AssertionError in _pallas_call_jvp_rule). AdaHessian's
+# Hutchinson pass is forward-over-reverse (train/optim.py
+# hutchinson_hessian_diag); it flips this around its jax.jvp so the Hessian
+# sub-graph stages the differentiable-path attention while the step's own
+# gradient keeps the fused kernel. Read at TRACE time, like INTERPRET.
+FORWARD_AD_ONLY = False
+
+
+@contextlib.contextmanager
+def forward_ad_safe():
+    """Trace-time context: route attention through the XLA path (kernels
+    disabled) so the enclosed program supports jax.jvp/jax.linearize."""
+    global FORWARD_AD_ONLY
+    prev = FORWARD_AD_ONLY
+    FORWARD_AD_ONLY = True
+    try:
+        yield
+    finally:
+        FORWARD_AD_ONLY = prev
 # Micro-headroom knobs (round-3 fwd ablation ladder,
 # tools/profile_attn_ablate.py: max pass 0.08 + lse store 0.07 ms/layer).
 # Both are read at TRACE time — set before building the jitted step.

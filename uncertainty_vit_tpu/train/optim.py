@@ -289,7 +289,17 @@ def hutchinson_hessian_diag(grad_fn, params: Any, rng, n_samples: int = 1):
     backward with grad_outputs=z; here it is forward-over-reverse
     jax.jvp(grad_fn, params, z), which XLA fuses into the step program.
     grad_fn must recompute the SAME differentiable program the step's
-    gradients came from (same dropout/droppath draws)."""
+    gradients came from (same dropout/droppath draws).
+
+    The jvp is staged under ops.flash_attention.forward_ad_safe(): Pallas
+    kernels have no JVP rule, so the Hessian sub-graph routes attention (and
+    the other kernel-backed ops) through the XLA path. Same math, same
+    make_rng draws for hidden-dropout/droppath; the one divergence is
+    in-kernel attention-dropout masks (attn_drop > 0), where the Hessian is
+    estimated under an independent dropout draw — an approximation to timm's
+    create_graph=True double-backward through the identical graph."""
+    from uncertainty_vit_tpu.ops.flash_attention import forward_ad_safe
+
     leaves, treedef = jax.tree_util.tree_flatten(params)
 
     def one_sample(key):
@@ -299,7 +309,8 @@ def hutchinson_hessian_diag(grad_fn, params: Any, rng, n_samples: int = 1):
             [jax.random.rademacher(k, l.shape, l.dtype)
              for k, l in zip(keys, leaves)],
         )
-        _, hz = jax.jvp(grad_fn, (params,), (z,))
+        with forward_ad_safe():
+            _, hz = jax.jvp(grad_fn, (params,), (z,))
         return jax.tree_util.tree_map(jnp.multiply, z, hz)
 
     if n_samples == 1:
