@@ -109,3 +109,20 @@ def test_mc_dropout_mean_agrees_fused_vs_xla_tpu():
         DO.FUSED = False
     # logits agree to MC noise (~1/sqrt(K) of the dropout-induced spread)
     np.testing.assert_allclose(fused, base, atol=0.35, rtol=0.0)
+
+
+def test_block_rows_respects_mosaic_tiling():
+    """Regression (round-5 TPU ladder, stage 6): the row block must be a
+    multiple of 8 sublanes or the whole array — 1MB/(768·2 B) = 682 rows
+    failed Mosaic lowering at (201728, 768) bf16 (ViT-B/224 batch-1024
+    MC-dropout shape)."""
+    # the exact failing shape: bf16, c=768, m=1024*197
+    b = DO._block_rows(201728, 768, 2)
+    assert b % 8 == 0 and b * 768 * 2 <= DO._BLOCK_BYTES
+    # full-array blocks are always legal, whatever the row count
+    assert DO._block_rows(5, 768, 2) == 5
+    assert DO._block_rows(682, 768, 2) == 682
+    # f32 and the 3072 MLP widths stay sublane-aligned too
+    for c, item in [(768, 4), (3072, 2), (3072, 4), (128, 2)]:
+        blk = DO._block_rows(10**6, c, item)
+        assert blk % 8 == 0 and blk >= 8

@@ -62,6 +62,19 @@ def supported(x: jnp.ndarray) -> bool:
     )
 
 
+def _block_rows(m: int, c: int, itemsize: int) -> int:
+    """Row-block size for the (m, c) grid. Mosaic requires the second-minor
+    block dim be a multiple of 8 (sublanes) OR equal to the full array dim —
+    the raw ~1MB budget (682 rows at c=768 bf16) violated that and failed
+    lowering on chip (round-5 TPU ladder, stage 6). Full array when it fits
+    in one program's budget; otherwise the budget floored to a sublane
+    multiple."""
+    budget = max(1, _BLOCK_BYTES // (c * itemsize))
+    if m <= budget:
+        return m
+    return max(8, (budget // 8) * 8)
+
+
 @functools.partial(jax.jit, static_argnames=("rate",))
 def fused_dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
     """Inverted dropout with in-kernel PRNG; keep-probability 1-rate, kept
@@ -75,7 +88,7 @@ def fused_dropout(x: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
     c = x.shape[-1]
     xm = x.reshape(-1, c)
     m = xm.shape[0]
-    block_m = max(1, min(m, _BLOCK_BYTES // (c * x.dtype.itemsize)))
+    block_m = _block_rows(m, c, x.dtype.itemsize)
     grid = pl.cdiv(m, block_m)
     seed = jax.random.randint(rng, (1,), -(2**31), 2**31 - 1, dtype=jnp.int32)
     out = pl.pallas_call(
