@@ -383,6 +383,32 @@ def test_attn_micro_mode_env_hooks(monkeypatch):
         FA.LSE_DTYPE = jnp.float32
 
 
+def test_attn_bounded_scores_recipe_default(monkeypatch):
+    """Round-5 decision: BOUNDED_SCORES defaults ON for the finetune recipe
+    (setup_jax(bounded_scores_default=True)) and OFF elsewhere; the env var
+    overrides in BOTH directions ("0" forces the exact max-subtracted path
+    back even in a finetune driver)."""
+    from uncertainty_vit_tpu.cli import common
+    from uncertainty_vit_tpu.ops import flash_attention as FA
+
+    monkeypatch.delenv("UVIT_ATTN_BOUNDED_SCORES", raising=False)
+    monkeypatch.delenv("UVIT_ATTN_LSE_BF16", raising=False)
+    try:
+        common.setup_jax()  # pretraining drivers: exact path
+        assert FA.BOUNDED_SCORES is False
+        common.setup_jax(bounded_scores_default=True)  # finetune recipe
+        assert FA.BOUNDED_SCORES is True
+        FA.BOUNDED_SCORES = False
+        monkeypatch.setenv("UVIT_ATTN_BOUNDED_SCORES", "0")  # explicit opt-out
+        common.setup_jax(bounded_scores_default=True)
+        assert FA.BOUNDED_SCORES is False
+        monkeypatch.setenv("UVIT_ATTN_BOUNDED_SCORES", "1")  # opt-in anywhere
+        common.setup_jax()
+        assert FA.BOUNDED_SCORES is True
+    finally:
+        FA.BOUNDED_SCORES = False
+
+
 def test_aug_knob_validation():
     """elem/pair and cutmix_minmax are now implemented (round-3 Missing #3);
     only genuinely unimplemented knobs / malformed values error."""

@@ -5,9 +5,23 @@ from __future__ import annotations
 import os
 
 
-def setup_jax(compilation_cache_dir: str = "/root/.cache/jax_comp") -> None:
+def setup_jax(
+    compilation_cache_dir: str = "/root/.cache/jax_comp",
+    bounded_scores_default: bool = False,
+) -> None:
     """Enable the persistent compilation cache (some v5e augmentation
-    programs take minutes to compile; this amortizes them across runs)."""
+    programs take minutes to compile; this amortizes them across runs).
+
+    bounded_scores_default: trace-time default for the attention kernel's
+    BOUNDED_SCORES micro-mode. The finetune drivers (trained backbones,
+    |scores| ≲ 40 — far from the f32 exp overflow at ~88) pass True: the
+    round-5 on-chip ablation measured fwd 0.843 → 0.752 ms/layer and grad
+    drift 0.57% (gate: 2%). From-scratch pretraining drivers keep the exact
+    max-subtracted path (False) — attention logits are unbounded over a long
+    pretrain. The UVIT_ATTN_BOUNDED_SCORES env var ("1"/"0") overrides both
+    ways. LSE_DTYPE=bf16 stays opt-in: the same ablation measured 3.4% grad
+    drift (fails the gate) with no robust step win (fwd+bwd 24.19 vs 23.57
+    ms baseline)."""
     import jax
 
     try:
@@ -17,15 +31,14 @@ def setup_jax(compilation_cache_dir: str = "/root/.cache/jax_comp") -> None:
     except Exception:
         pass
 
-    # Attention micro-modes (ops/flash_attention.py trace-time flags): env
-    # opt-ins so recipes and bench tools can flip them without code edits.
-    if os.environ.get("UVIT_ATTN_BOUNDED_SCORES", "") == "1" or os.environ.get(
-        "UVIT_ATTN_LSE_BF16", ""
-    ) == "1":
+    # Attention micro-modes (ops/flash_attention.py trace-time flags).
+    bounded_env = os.environ.get("UVIT_ATTN_BOUNDED_SCORES", "")
+    bounded = bounded_scores_default if bounded_env == "" else bounded_env == "1"
+    if bounded or os.environ.get("UVIT_ATTN_LSE_BF16", "") == "1":
         import jax.numpy as jnp
         from uncertainty_vit_tpu.ops import flash_attention as _FA
 
-        if os.environ.get("UVIT_ATTN_BOUNDED_SCORES", "") == "1":
+        if bounded:
             _FA.BOUNDED_SCORES = True
         if os.environ.get("UVIT_ATTN_LSE_BF16", "") == "1":
             _FA.LSE_DTYPE = jnp.bfloat16

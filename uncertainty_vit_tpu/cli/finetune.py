@@ -549,7 +549,9 @@ def run_eval_dispatch(args, model, variables, val_loader, nb_classes):
 
 
 def main(args):
-    setup_jax()
+    # bounded-scores attention default ON: finetuning starts from a trained
+    # backbone, the regime the round-5 ablation gated (cli/common.py)
+    setup_jax(bounded_scores_default=True)
     B.validate_aug_args(args)
     print(f"devices: {jax.devices()}", flush=True)
     triplet = args.stochastic and not args.eval
