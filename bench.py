@@ -35,8 +35,8 @@ UNIT = "images/sec/chip"
 # recovered: 1205.6 baseline → 1219.5 with the finetune recipe's
 # bounded-scores attention default). Used ONLY in the stale fallback path,
 # clearly tagged.
-LAST_GOOD_VALUE = 1219.5
-LAST_GOOD_FROM = "round-5 bench.py on the recovered backend (batch 256, bounded-scores recipe default)"
+LAST_GOOD_VALUE = 1272.4
+LAST_GOOD_FROM = "round-5 bench.py on the recovered backend (batch 160, bounded-scores recipe default)"
 
 PROBE_TIMEOUT_S = 180  # bare backend init takes <30s when healthy
 PROBE_ATTEMPTS = 3
@@ -199,9 +199,11 @@ def worker():
     )
     from uncertainty_vit_tpu.train.optim import make_optimizer
 
-    # batch 256 measured +0.9% over 128 (fixed per-step cost amortizes;
-    # 512 regresses −7% on HBM pressure) — tools/bench_quant_step.py sweep
-    batch = 256
+    # round-5 sweep (measurements/r5/batch_sweep.log): 128→1213, 160→1279,
+    # 192→1274, 224→1211, 256→1219, 320→1220 img/s — the round-3 sweep only
+    # tried {128, 256, 512} and missed the 160–192 plateau (~+4.5% over
+    # 256). 160 is the repeatable peak (×2 runs at 40 iters each).
+    batch = 160
     cfg = get_preset(
         "beit_base_patch16_224",
         use_shared_rel_pos_bias=True,
