@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -323,6 +324,41 @@ def _lse_bytes(bb: int, n: int, group: int) -> int:
     return 2 * bb * n * max(group, _LANE) * 4
 
 
+def _block_budget_bytes() -> int:
+    """Mosaic scoped-VMEM working budget for the batch-block heuristic.
+
+    The 14.5MB default targets Mosaic's default scoped-vmem limit (~16MiB):
+    bb=4 forward at ViT-B (13.5MB slab/score estimate + the 0.8MB lse block)
+    compiles and runs 13% faster than bb=2, while the backward's 7-slab
+    estimate keeps it at 2 (bb=4 backward fails to COMPILE at the default
+    limit — measured, not margin). UVIT_ATTN_VMEM_BUDGET_MB raises the
+    budget in lockstep with --xla_tpu_scoped_vmem_limit_kib (e.g. budget 29
+    with limit 32768), unlocking bb=4 backward / bb=8 forward. Read at
+    TRACE time, like the micro-mode flags above."""
+    try:
+        mb = float(os.environ.get("UVIT_ATTN_VMEM_BUDGET_MB", "14.5"))
+    except ValueError:
+        mb = 14.5
+    return int(mb * 1024 * 1024)
+
+
+def _compiler_params():
+    """Per-kernel Mosaic scoped-VMEM limit matching the heuristic budget.
+
+    Mosaic's default scoped-vmem limit is ~16MiB; when
+    UVIT_ATTN_VMEM_BUDGET_MB raises the batch-block budget past the 14.5MB
+    default, the kernels must carry a matching vmem_limit_bytes or Mosaic
+    rejects the bigger blocks at compile time. The 9/8 headroom mirrors the
+    16MiB-limit / 14.5MB-budget ratio the default config is tuned to. The
+    global --xla_tpu_scoped_vmem_limit_kib flag is NOT usable here: the
+    axon PJRT client aborts on unknown XLA_FLAGS (measured, round 5), and
+    the per-kernel param is the TPU-native scoping anyway."""
+    budget = _block_budget_bytes()
+    if budget <= int(14.5 * 1024 * 1024):
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(budget * 9 // 8))
+
+
 def _batch_block(b: int, n: int, lanes: int, group: int, num_slabs: int,
                  live_scores: int, num_bias_blocks: int = 1) -> int:
     """Largest batch-block per program that fits VMEM. `num_slabs` counts the
@@ -334,16 +370,13 @@ def _batch_block(b: int, n: int, lanes: int, group: int, num_slabs: int,
     DMA-setup cost, which dominates at ViT shapes (compute is ~2 µs/program,
     overhead ~13 µs)."""
     bias_bytes = num_bias_blocks * group * n * n * 4
-    for bb in (8, 4, 2, 1):
+    budget = _block_budget_bytes()
+    for bb in (16, 8, 4, 2, 1):
         if b % bb != 0:
             continue
         slabs = num_slabs * bb * n * lanes * 2 * 2  # ×2 double buffering
         scores = live_scores * bb * n * n * 4
-        # 14.5MB: bb=4 forward at ViT-B (13.5MB slab/score estimate + the
-        # 0.8MB lse block) compiles and runs 13% faster than bb=2; the
-        # backward's 7-slab estimate keeps it at 2 (bb=4 backward fails to
-        # compile — measured, not margin)
-        if bias_bytes + slabs + scores + _lse_bytes(bb, n, group) <= int(14.5 * 1024 * 1024):
+        if bias_bytes + slabs + scores + _lse_bytes(bb, n, group) <= budget:
             return bb
     return 1
 
@@ -420,6 +453,7 @@ def _fwd_impl(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate,
             bytes_accessed=2 * b * n * c3 * qkv.dtype.itemsize,
             transcendentals=b * num_heads * n * n,
         ),
+        compiler_params=_compiler_params(),
     )(*args)
     return (outs[0], outs[1]) if want_lse else (outs[0], None)
 
@@ -499,6 +533,7 @@ def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
             bytes_accessed=4 * b * n * c3 * qkv.dtype.itemsize,
             transcendentals=b * num_heads * n * n,
         ),
+        compiler_params=_compiler_params(),
     )(*args)
 
     if single_out:
