@@ -147,7 +147,7 @@ def test_fused_backward_with_multiple_head_groups(monkeypatch):
     break the single-group tests above can never see."""
     import uncertainty_vit_tpu.ops.flash_attention as FA_mod
 
-    monkeypatch.setattr(FA_mod, "_head_group", lambda hd, nh, n: 2)
+    monkeypatch.setattr(FA_mod, "_head_group", lambda hd, nh, n, raised=False: 2)
     qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C))
     bias = jax.random.normal(jax.random.PRNGKey(1), (H, N, N)) * 0.1
     seed = jnp.zeros((1,), jnp.int32)
@@ -499,3 +499,36 @@ def test_fused_kernel_correct_at_batch_block_16():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), rtol=1e-3, atol=1e-4
         )
+
+
+def test_vmem_budget_scales_head_group(monkeypatch):
+    """The head-group budget scales with UVIT_ATTN_VMEM_BUDGET_MB (×6/14.5,
+    so the default stays exactly the tuned 6MB): at N=577 the default pins
+    group=2; budget 30 admits group=6 — the per-program amortization the
+    224 shapes already get (group=12 beat group=2 by 1.5× at 224)."""
+    monkeypatch.delenv("UVIT_ATTN_VMEM_BUDGET_MB", raising=False)
+    assert FA._head_group(64, 12, 577) == 2
+    assert FA._head_group(64, 12, 197) == 12
+    monkeypatch.setenv("UVIT_ATTN_VMEM_BUDGET_MB", "30")
+    assert FA._head_group(64, 12, 577) == 6
+    # 224 shapes already max out the group; unchanged
+    assert FA._head_group(64, 12, 197) == 12
+
+
+def test_train_path_auto_raise(monkeypatch):
+    """At shapes where the default budget pins the head group (N=577), the
+    TRAIN path (want_lse fwd + bwd) automatically uses
+    TRAIN_PINNED_BUDGET_MB (measured: B/384 fwd+bwd −5.7%, L/384 −2.3%,
+    exact parity; eval fwd measured SLOWER raised, so eval keeps the
+    default). Env override and the kill switch both disable the raise."""
+    monkeypatch.delenv("UVIT_ATTN_VMEM_BUDGET_MB", raising=False)
+    assert FA._train_raise(64, 12, 577) and FA._train_raise(64, 16, 577)
+    assert not FA._train_raise(64, 12, 197)  # 224: group already maxed
+    assert FA._head_group(64, 12, 577, raised=True) == 6
+    assert FA._head_group(64, 16, 577, raised=True) == 4
+    # explicit env override wins over the automatic raise (train AND eval)
+    monkeypatch.setenv("UVIT_ATTN_VMEM_BUDGET_MB", "14.5")
+    assert not FA._train_raise(64, 12, 577)
+    monkeypatch.delenv("UVIT_ATTN_VMEM_BUDGET_MB", raising=False)
+    monkeypatch.setattr(FA, "TRAIN_PINNED_BUDGET_MB", 0.0)
+    assert not FA._train_raise(64, 12, 577)

@@ -156,6 +156,8 @@ def main():
                 "vit_b16_384_train_step", "beit_base_patch16_384", 384, 32)),
             ("vitl_224_train", lambda: train_case(
                 "vit_l16_224_train_step", "beit_large_patch16_224", 224, 64)),
+            ("vitl_384_train", lambda: train_case(
+                "vit_l16_384_train_step", "beit_large_patch16_384", 384, 16)),
             ("vitl_512_train", lambda: train_case(
                 "vit_l16_512_train_step", "beit_large_patch16_512", 512, 8)),
         ]

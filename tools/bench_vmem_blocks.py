@@ -45,6 +45,13 @@ from uncertainty_vit_tpu.ops import flash_attention as FA
 if SMOKE:
     FA.INTERPRET = True
     B, N, C, H, LAYERS, ITERS = 4, 17, 128, 2, 2, 1
+elif "--vitb384" in sys.argv:
+    # ViT-B/384 family shapes (N=577: head-group pinned to 2 at the default
+    # budget; budget 30 admits group 6 — see _head_group)
+    B, N, C, H, LAYERS, ITERS = 32, 577, 768, 12, 12, 8
+elif "--vitl384" in sys.argv:
+    # ViT-L/384 (N=577, 16 heads): default group 2 → budget 30 group 4
+    B, N, C, H, LAYERS, ITERS = 16, 577, 1024, 16, 12, 8
 else:
     # headline bench batch (bench.py: 160, the round-5 sweep optimum)
     B, N, C, H, LAYERS, ITERS = 160, 197, 768, 12, 12, 8
@@ -88,9 +95,12 @@ def bench(fn, *args):
 
 
 def main():
+    # measure pure env-budget configs: the automatic train-path raise
+    # (TRAIN_PINNED_BUDGET_MB, added from this tool's own measurements)
+    # would otherwise make the 'default' row raised at N=577
+    FA.TRAIN_PINNED_BUDGET_MB = 0.0
     qkv = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3 * C), jnp.bfloat16)
     bias = jax.random.normal(jax.random.PRNGKey(1), (H, N, N), jnp.float32) * 0.1
-    group = FA._head_group(D, H, N)
 
     ref_out = ref_g = None
     for label, budget in CONFIGS:
@@ -98,6 +108,7 @@ def main():
             os.environ.pop("UVIT_ATTN_VMEM_BUDGET_MB", None)
         else:
             os.environ["UVIT_ATTN_VMEM_BUDGET_MB"] = budget
+        group = FA._head_group(D, H, N)  # budget-dependent (N=577: 2 → 6)
         fwd_bb, bwd_bb = FA._fwd_bwd_blocks(B, N, group * D, group, 0.0)
         try:
             fwd = build(grad=False)
@@ -126,6 +137,7 @@ def main():
                 {
                     "label": label,
                     "budget_mb": budget or "14.5",
+                    "group": group,
                     "fwd_bb": fwd_bb,
                     "bwd_bb": bwd_bb,
                     "fwd_ms_layer": round(t_f / LAYERS * 1e3, 3),

@@ -85,6 +85,12 @@ LSE_DTYPE = jnp.float32
 # VMEM budget per program for the bias block + live score/prob tiles; the
 # chip has ~16MB of VMEM and Mosaic double-buffers blocks.
 _VMEM_BUDGET = 6 * 1024 * 1024
+# TRAIN-path budget (MB) used automatically at shapes where the default
+# budget pins the head group (N=577 presets) — see _train_raise for the
+# round-5 measurements. 0/None disables the automatic raise; the
+# UVIT_ATTN_VMEM_BUDGET_MB env override takes precedence over both. Read
+# at TRACE time, like BOUNDED_SCORES/LSE_DTYPE above.
+TRAIN_PINNED_BUDGET_MB = 30.0
 
 
 def _group_candidates(num_heads: int, head_dim: int):
@@ -101,14 +107,44 @@ def _group_bytes(g: int, head_dim: int, n: int) -> int:
     return bias + qkv + scores
 
 
-def _head_group(head_dim: int, num_heads: int, n: int) -> int:
+def _head_group(head_dim: int, num_heads: int, n: int,
+                raised: bool = False) -> int:
     """Largest head group per program that keeps lanes 128-aligned and fits
     the VMEM budget (measured fastest: more heads per program amortizes
-    per-program overhead — group=12 beat group=2 by 1.5× at ViT-B/224)."""
+    per-program overhead — group=12 beat group=2 by 1.5× at ViT-B/224).
+
+    The budget scales with the effective block budget (default 6MB at the
+    default 14.5MB block budget, i.e. ×6/14.5): at N=577 (the 384-res
+    presets) the default pins group=2, while the raised train-path budget
+    (see _train_raise) admits group=6 (B/384) / group=4 (L/384) — the same
+    per-program amortization the 224 shapes already enjoy."""
+    budget = max(_VMEM_BUDGET, int(_block_budget_bytes(raised) * (6.0 / 14.5)))
     for g in _group_candidates(num_heads, head_dim):
-        if _group_bytes(g, head_dim, n) <= _VMEM_BUDGET:
+        if _group_bytes(g, head_dim, n) <= budget:
             return g
     return 0
+
+
+def _train_raise(head_dim: int, num_heads: int, n: int) -> bool:
+    """True when the TRAIN path (want_lse forward + backward) should use
+    TRAIN_PINNED_BUDGET_MB: the default 6MB budget pins the head group
+    below what the raised budget admits, and no env override is present.
+
+    Round-5 on-chip measurements (measurements/r5/vmem_blocks.log): at
+    N=577 this is fwd+bwd −5.7% (ViT-B/384, group 2→6) and −2.3%
+    (ViT-L/384, group 2→4, bwd bb 1→2) with exact dqkv parity (dbias
+    ≤4e-7, f32 accumulation order), +2.4% on the vit_b16_384_train family
+    number. The same raise measured ~1.7% SLOWER on the eval-only forward
+    (no lse store / no backward), so eval keeps the default. 224 shapes
+    are unaffected (group already maxed at the default budget); N=1025
+    takes the streaming route and never consults this."""
+    if os.environ.get("UVIT_ATTN_VMEM_BUDGET_MB", ""):
+        return False  # explicit override applies to train AND eval
+    if not TRAIN_PINNED_BUDGET_MB:
+        return False
+    return _head_group(head_dim, num_heads, n, raised=True) > _head_group(
+        head_dim, num_heads, n
+    )
 
 
 def kernel_supported(num_heads: int, head_dim: int, seq_len: int = 197) -> bool:
@@ -324,43 +360,49 @@ def _lse_bytes(bb: int, n: int, group: int) -> int:
     return 2 * bb * n * max(group, _LANE) * 4
 
 
-def _block_budget_bytes() -> int:
+def _block_budget_bytes(raised: bool = False) -> int:
     """Mosaic scoped-VMEM working budget for the batch-block heuristic.
 
     The 14.5MB default targets Mosaic's default scoped-vmem limit (~16MiB):
     bb=4 forward at ViT-B (13.5MB slab/score estimate + the 0.8MB lse block)
     compiles and runs 13% faster than bb=2, while the backward's 7-slab
     estimate keeps it at 2 (bb=4 backward fails to COMPILE at the default
-    limit — measured, not margin). UVIT_ATTN_VMEM_BUDGET_MB raises the
-    budget in lockstep with --xla_tpu_scoped_vmem_limit_kib (e.g. budget 29
-    with limit 32768), unlocking bb=4 backward / bb=8 forward. Read at
-    TRACE time, like the micro-mode flags above."""
-    try:
-        mb = float(os.environ.get("UVIT_ATTN_VMEM_BUDGET_MB", "14.5"))
-    except ValueError:
-        mb = 14.5
-    return int(mb * 1024 * 1024)
+    limit — measured, not margin). UVIT_ATTN_VMEM_BUDGET_MB overrides the
+    budget for BOTH train and eval paths (paired with the per-kernel
+    vmem_limit_bytes in _compiler_params); without an override, the train
+    path at pinned-head-group shapes uses TRAIN_PINNED_BUDGET_MB (see
+    _train_raise). Read at TRACE time, like the micro-mode flags above."""
+    env = os.environ.get("UVIT_ATTN_VMEM_BUDGET_MB", "")
+    if env:
+        try:
+            return int(float(env) * 1024 * 1024)
+        except ValueError:
+            pass
+    if raised and TRAIN_PINNED_BUDGET_MB:
+        return int(TRAIN_PINNED_BUDGET_MB * 1024 * 1024)
+    return int(14.5 * 1024 * 1024)
 
 
-def _compiler_params():
+def _compiler_params(raised: bool = False):
     """Per-kernel Mosaic scoped-VMEM limit matching the heuristic budget.
 
-    Mosaic's default scoped-vmem limit is ~16MiB; when
-    UVIT_ATTN_VMEM_BUDGET_MB raises the batch-block budget past the 14.5MB
-    default, the kernels must carry a matching vmem_limit_bytes or Mosaic
-    rejects the bigger blocks at compile time. The 9/8 headroom mirrors the
-    16MiB-limit / 14.5MB-budget ratio the default config is tuned to. The
-    global --xla_tpu_scoped_vmem_limit_kib flag is NOT usable here: the
-    axon PJRT client aborts on unknown XLA_FLAGS (measured, round 5), and
-    the per-kernel param is the TPU-native scoping anyway."""
-    budget = _block_budget_bytes()
+    Mosaic's default scoped-vmem limit is ~16MiB; when the budget rises
+    past the 14.5MB default, the kernels must carry a matching
+    vmem_limit_bytes or Mosaic rejects the bigger blocks at compile time.
+    The 9/8 headroom mirrors the 16MiB-limit / 14.5MB-budget ratio the
+    default config is tuned to. The global --xla_tpu_scoped_vmem_limit_kib
+    flag is NOT usable here: the axon PJRT client aborts on unknown
+    XLA_FLAGS (measured, round 5), and the per-kernel param is the
+    TPU-native scoping anyway."""
+    budget = _block_budget_bytes(raised)
     if budget <= int(14.5 * 1024 * 1024):
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=int(budget * 9 // 8))
 
 
 def _batch_block(b: int, n: int, lanes: int, group: int, num_slabs: int,
-                 live_scores: int, num_bias_blocks: int = 1) -> int:
+                 live_scores: int, num_bias_blocks: int = 1,
+                 raised: bool = False) -> int:
     """Largest batch-block per program that fits VMEM. `num_slabs` counts the
     [bb, n, lanes] blocks that Mosaic double-buffers (qkv in + out for the
     forward; + grad in and dq/dk/dv out for the backward); `live_scores`
@@ -370,7 +412,7 @@ def _batch_block(b: int, n: int, lanes: int, group: int, num_slabs: int,
     DMA-setup cost, which dominates at ViT shapes (compute is ~2 µs/program,
     overhead ~13 µs)."""
     bias_bytes = num_bias_blocks * group * n * n * 4
-    budget = _block_budget_bytes()
+    budget = _block_budget_bytes(raised)
     for bb in (16, 8, 4, 2, 1):
         if b % bb != 0:
             continue
@@ -381,14 +423,15 @@ def _batch_block(b: int, n: int, lanes: int, group: int, num_slabs: int,
     return 1
 
 
-def _fwd_bwd_blocks(b: int, n: int, lanes: int, group: int, dropout_rate: float):
+def _fwd_bwd_blocks(b: int, n: int, lanes: int, group: int, dropout_rate: float,
+                    raised: bool = False):
     """(fwd_bb, bwd_bb). With in-kernel dropout the backward REPLAYS the
     forward's prng sequence, so both kernels must agree on the batch-block
     (seed mapping and per-head mask shapes depend on it)."""
     fwd_bb = _batch_block(b, n, lanes, group, num_slabs=4, live_scores=3,
-                          num_bias_blocks=1)
+                          num_bias_blocks=1, raised=raised)
     bwd_bb = _batch_block(b, n, lanes, group, num_slabs=7, live_scores=4,
-                          num_bias_blocks=2)
+                          num_bias_blocks=2, raised=raised)
     if dropout_rate > 0.0:
         shared = min(fwd_bb, bwd_bb)
         return shared, shared
@@ -400,11 +443,16 @@ def _fwd_impl(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate,
     b, n, c3 = qkv.shape
     c = c3 // 3
     head_dim = c // num_heads
-    group = _head_group(head_dim, num_heads, n)
+    # the train forward (want_lse: paired with a backward) may use the
+    # raised budget; the eval forward keeps the default (measured slower
+    # raised — see _train_raise). Backward pairing stays consistent:
+    # _bwd_impl recomputes the same raised flag.
+    raised = want_lse and _train_raise(head_dim, num_heads, n)
+    group = _head_group(head_dim, num_heads, n, raised=raised)
     assert group > 0, (num_heads, head_dim, n)
     num_groups = num_heads // group
     lanes = group * head_dim
-    bb, _ = _fwd_bwd_blocks(b, n, lanes, group, dropout_rate)
+    bb, _ = _fwd_bwd_blocks(b, n, lanes, group, dropout_rate, raised=raised)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += _qkv_specs(n, lanes, num_groups, bh_grid=True, bb=bb)
@@ -453,7 +501,7 @@ def _fwd_impl(qkv, bias, qv_bias, seed, scale, num_heads, dropout_rate,
             bytes_accessed=2 * b * n * c3 * qkv.dtype.itemsize,
             transcendentals=b * num_heads * n * n,
         ),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(raised),
     )(*args)
     return (outs[0], outs[1]) if want_lse else (outs[0], None)
 
@@ -462,11 +510,14 @@ def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
     b, n, c3 = qkv.shape
     c = c3 // 3
     head_dim = c // num_heads
-    group = _head_group(head_dim, num_heads, n)
+    # the backward only exists on the train path: mirror the train
+    # forward's raised flag so group/bb (and the lse layout) line up
+    raised = _train_raise(head_dim, num_heads, n)
+    group = _head_group(head_dim, num_heads, n, raised=raised)
     assert group > 0, (num_heads, head_dim, n)
     num_groups = num_heads // group
     lanes = group * head_dim
-    _, bb = _fwd_bwd_blocks(b, n, lanes, group, dropout_rate)
+    _, bb = _fwd_bwd_blocks(b, n, lanes, group, dropout_rate, raised=raised)
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     in_specs += _qkv_specs(n, lanes, num_groups, bh_grid=False, bb=bb)
@@ -533,7 +584,7 @@ def _bwd_impl(qkv, bias, qv_bias, seed, lse, g, scale, num_heads, dropout_rate):
             bytes_accessed=4 * b * n * c3 * qkv.dtype.itemsize,
             transcendentals=b * num_heads * n * n,
         ),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(raised),
     )(*args)
 
     if single_out:
